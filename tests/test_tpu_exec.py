@@ -1,0 +1,118 @@
+"""TPU execution path (ops/stages.py + models/resampler.py) vs the CPU
+oracle.
+
+Two independent properties, separated on purpose:
+
+1. *Algorithmic exactness* — running the whole-array executors in float64
+   (on the CPU backend; TPU numerics differ only in rounding) must reproduce
+   the streaming f64 oracle to FFT-noise level.  This proves the batched,
+   block-parallel re-formulation (overlap-save framing, superkernel strided
+   matmul, stencil convs) computes the *same stream*, independent of block
+   segmentation — the invariant the reference relies on for its own
+   flip-flop buffering (CDSPBlockConvolver.h:252-354).
+
+2. *float32 path accuracy* — the fast TPU dtype; measured against the f64
+   oracle.  The bound here is the per-config noise floor of f32 FFT
+   convolution; the strict −141 dB golden class (bench/README.md:9-11) is
+   the job of the df32 high-precision path (tested separately).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from r8brain_tpu.models.lengths import chain_out_len, stage_out_len
+from r8brain_tpu.models.oracle import OracleResampler
+from r8brain_tpu.models.plan import make_plan
+from r8brain_tpu.models.resampler import Resampler
+
+from .helpers import lcg_uniform, rms_db
+
+jax.config.update("jax_enable_x64", True)
+
+CONFIGS = [
+    # (label, src, dst, tb, atten, phase)
+    ("up_44k_96k", 44100, 96000, 2.0, 180.15, 0),
+    ("up_44k_48k", 44100, 48000, 2.0, 180.15, 0),
+    ("down_96k_44k", 96000, 44100, 2.0, 180.15, 0),
+    ("down_48k_44k", 48000, 44100, 2.0, 180.15, 0),
+    ("x2_up", 44100, 88200, 2.0, 180.15, 0),
+    ("x2_down", 88200, 44100, 2.0, 180.15, 0),
+    ("x4_up_hb", 44100, 176400, 2.0, 180.15, 0),
+    ("x4_down_hb", 176400, 44100, 2.0, 180.15, 0),
+    ("x12_up_hb3", 8000, 96000, 2.0, 160.0, 0),
+    ("r3_2", 32000, 48000, 2.0, 180.15, 0),
+    ("r3_4", 64000, 48000, 2.0, 180.15, 0),
+    ("poly_96001", 44100, 96001, 2.0, 180.15, 0),
+    ("sacd_down", 2822400, 96000, 2.0, 150.0, 0),
+    ("to_dsd_interm", 44100, 352800 * 2, 2.0, 140.0, 0),
+    ("minph_up", 44100, 96000, 2.0, 140.0, 1),
+    ("preset_def", 44100, 96000, 2.0, 206.91, 0),
+]
+
+IDS = [c[0] for c in CONFIGS]
+
+
+def _run_pair(src, dst, tb, atten, phase, dtype, n=6000):
+    x = lcg_uniform(101, n)
+    orc = OracleResampler(src, dst, 4096, tb, atten, phase)
+    out_len = int(np.floor(n * dst / src))
+    ref = orc.oneshot(x, out_len)
+    rs = Resampler(src, dst, tb, atten, phase, dtype=dtype, plan=orc.plan)
+    y = np.asarray(rs.oneshot(x, out_len), dtype=np.float64)
+    assert y.shape == ref.shape
+    return y, ref
+
+
+@pytest.mark.parametrize("cfg", CONFIGS, ids=IDS)
+def test_f64_exact(cfg):
+    label, src, dst, tb, atten, phase = cfg
+    n = 2000 if src > 1e6 else 6000
+    y, ref = _run_pair(src, dst, tb, atten, phase, "float64", n)
+    d = rms_db(y - ref)
+    assert d < -250.0, f"{label}: {d:.1f} dB"
+
+
+@pytest.mark.parametrize("cfg", CONFIGS, ids=IDS)
+def test_f32_accuracy(cfg):
+    label, src, dst, tb, atten, phase = cfg
+    n = 2000 if src > 1e6 else 6000
+    y, ref = _run_pair(src, dst, tb, atten, phase, "float32", n)
+    d = rms_db(y - ref)
+    # f32 noise floor; the df32 path owns the -141 dB class.
+    assert d < -115.0, f"{label}: {d:.1f} dB"
+
+
+def test_batch_channels_consistent():
+    """Multi-channel batch must equal per-channel runs exactly."""
+    src, dst = 44100, 96000
+    n = 4000
+    x = np.stack([lcg_uniform(s, n) for s in (1, 2, 3, 4)])
+    rs = Resampler(src, dst, 2.0, 180.15, 0, dtype="float64")
+    out_len = rs.default_out_len(n)
+    y_batch = np.asarray(rs.oneshot(x, out_len))
+    for c in range(4):
+        y1 = np.asarray(rs.oneshot(x[c], out_len))
+        assert np.array_equal(y_batch[c], y1)
+
+
+def test_lengths_match_oracle_emission():
+    """stage_out_len / chain_out_len agree with the streaming oracle."""
+    for src, dst, atten in ((44100, 96000, 180.15), (96000, 44100, 180.15),
+                            (44100, 96001, 160.0), (44100, 176400, 180.15),
+                            (176400, 44100, 140.0)):
+        orc = OracleResampler(src, dst, 512, 2.0, atten, 0)
+        n = 5000
+        x = lcg_uniform(5, n)
+        total = 0
+        for chunk_start in range(0, n, 512):
+            total += orc.process(x[chunk_start:chunk_start + 512]).shape[0]
+        assert total == chain_out_len(orc.plan.stages, n), (src, dst)
+
+
+def test_passthrough():
+    rs = Resampler(48000, 48000, dtype="float32")
+    x = np.random.default_rng(0).standard_normal((3, 100))
+    y = np.asarray(rs.oneshot(x))
+    np.testing.assert_allclose(y, x.astype(np.float32))
