@@ -25,6 +25,7 @@ def main():
     seconds = float(os.environ.get("R8B_BENCH_SECONDS", "1.0"))
     iters = int(os.environ.get("R8B_BENCH_ITERS", "5"))
     dtype = os.environ.get("R8B_BENCH_DTYPE", "float32")
+    precision = os.environ.get("R8B_BENCH_PRECISION", "fast")
 
     import jax
     import jax.numpy as jnp
@@ -32,24 +33,31 @@ def main():
     from r8brain_tpu.models.resampler import Resampler24
 
     n_in = int(44100 * seconds)
-    rs = Resampler24(44100, 96000, dtype=dtype)
+    from r8brain_tpu.models.resampler import Resampler
+
+    rs = Resampler(44100, 96000, 2.0, 180.15, 0, dtype=dtype,
+                   precision=precision)
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((channels, n_in)) * 0.5, dtype=dtype)
-    x = jax.device_put(x)
+    # two distinct input buffers, alternated per iteration, so a caching
+    # dispatch layer cannot elide repeated identical executions
+    xs = [jax.device_put(jnp.asarray(
+        rng.standard_normal((channels, n_in)) * 0.5, dtype=dtype))
+        for _ in range(2)]
 
     fn = jax.jit(rs._chain)
-    y = fn(x)
-    y.block_until_ready()  # compile + warmup
+    for x in xs:
+        fn(x).block_until_ready()  # compile + warmup
 
     t0 = time.perf_counter()
-    for _ in range(iters):
-        y = fn(x)
-    y.block_until_ready()
+    for i in range(iters):
+        y = fn(xs[i % 2])
+        y.block_until_ready()
     dt = (time.perf_counter() - t0) / iters
 
     mrops = 1e-6 * channels * n_in / dt
     print(json.dumps({
-        "metric": "resample_44k_to_96k_24bit_throughput",
+        "metric": "resample_44k_to_96k_24bit_throughput"
+        if precision == "fast" else "resample_44k_to_96k_24bit_hp_throughput",
         "value": round(mrops, 1),
         "unit": "Mrops",
         "vs_baseline": round(mrops / 38.0, 2),

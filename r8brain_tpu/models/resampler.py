@@ -34,11 +34,17 @@ class Resampler:
     def __init__(self, src_rate: float, dst_rate: float,
                  trans_band: float = 2.0, atten: float = 206.91,
                  phase: int = 0, dtype=jnp.float32,
-                 plan: Optional[Plan] = None):
+                 plan: Optional[Plan] = None, precision: str = "fast"):
+        """precision: "fast" runs everything in ``dtype``; "high" (float32
+        only) runs the convolver FFTs in two-float (df32) arithmetic so the
+        pipeline meets the reference's -141 dB golden-equality class on
+        TPU hardware (which has no fast float64)."""
         self.plan = plan if plan is not None else make_plan(
             src_rate, dst_rate, trans_band, atten, phase)
         self.dtype = jnp.dtype(dtype)
-        self.execs = [build_exec(s, self.dtype) for s in self.plan.stages]
+        self.precision = precision
+        self.execs = [build_exec(s, self.dtype, precision)
+                      for s in self.plan.stages]
         self._jit_chain = jax.jit(self._chain)
 
     @property

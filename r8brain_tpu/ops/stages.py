@@ -77,9 +77,11 @@ class ConvExec:
         y[r] = w[r*down + offset],  r in [0, M).
     """
 
-    def __init__(self, spec: ConvStage, dtype=jnp.float32, ext: int = 2):
+    def __init__(self, spec: ConvStage, dtype=jnp.float32, ext: int = 2,
+                 precision: str = "fast"):
         self.spec = spec
         self.dtype = jnp.dtype(dtype)
+        self.precision = precision if self.dtype == jnp.float32 else "fast"
         k = np.asarray(spec.filt.kernel, dtype=np.float64)
         self.K = k.shape[0]
         P = self.K - 1
@@ -89,18 +91,27 @@ class ConvExec:
             nfft *= 2
         self.nfft = nfft
         self.hop = nfft - P
-        Hf = np.fft.rfft(k, n=nfft)
         # stored as host numpy: traced into the jitted program as
         # literals (device arrays closed over as jit constants would force
         # a device->host transfer at trace time, unsupported on some
         # remote-TPU backends)
-        if self.dtype == jnp.float32:
+        if self.precision == "high":
+            # full complex f64 spectrum with the 1/N inverse scale folded
+            # in; consumed hi/lo-split by the df32 FFT convolver
+            from .dfft import DfFFT
+            Hfull = np.fft.fft(k, n=nfft) / nfft
+            self.H_re = np.ascontiguousarray(Hfull.real)
+            self.H_im = np.ascontiguousarray(Hfull.imag)
+            self.dfft_plan = DfFFT(nfft)
+            self.H_hi = self.H_lo = None
+        elif self.dtype == jnp.float32:
+            Hf = np.fft.rfft(k, n=nfft)
             hi = Hf.astype(np.complex64)
             lo = (Hf - hi.astype(np.complex128)).astype(np.complex64)
             self.H_hi = hi
             self.H_lo = lo
         else:
-            self.H_hi = Hf.astype(np.complex128)
+            self.H_hi = np.fft.rfft(k, n=nfft).astype(np.complex128)
             self.H_lo = None
 
     def out_len(self, n_in: int) -> int:
@@ -135,12 +146,16 @@ class ConvExec:
         frames = jnp.concatenate(
             [chunks[:, :n_frames, :], chunks[:, 1:, :P]], axis=-1)
 
-        X = jnp.fft.rfft(frames, axis=-1)
-        if self.H_lo is not None:
-            Y = X * self.H_hi + X * self.H_lo
+        if self.precision == "high":
+            from .dfft import df_ols_convolve
+            W = df_ols_convolve(frames, self.H_re, self.H_im, self.dfft_plan)
         else:
-            Y = X * self.H_hi
-        W = jnp.fft.irfft(Y, n=nfft, axis=-1).astype(self.dtype)
+            X = jnp.fft.rfft(frames, axis=-1)
+            if self.H_lo is not None:
+                Y = X * self.H_hi + X * self.H_lo
+            else:
+                Y = X * self.H_hi
+            W = jnp.fft.irfft(Y, n=nfft, axis=-1).astype(self.dtype)
         w = W[:, :, P:].reshape(C, n_frames * hop)
         return jax.lax.slice(w, (0, off), (C, off + (M - 1) * down + 1),
                              (1, down))
@@ -332,9 +347,9 @@ class FracPolyExec:
         return y
 
 
-def build_exec(spec: Stage, dtype=jnp.float32):
+def build_exec(spec: Stage, dtype=jnp.float32, precision: str = "fast"):
     if isinstance(spec, ConvStage):
-        return ConvExec(spec, dtype)
+        return ConvExec(spec, dtype, precision=precision)
     if isinstance(spec, HBUpStage):
         return HBUpExec(spec, dtype)
     if isinstance(spec, HBDownStage):

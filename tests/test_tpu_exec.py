@@ -84,6 +84,34 @@ def test_f32_accuracy(cfg):
     assert d < -115.0, f"{label}: {d:.1f} dB"
 
 
+HP_CONFIGS = [
+    ("up_44k_96k", 44100, 96000, 2.0, 180.15, 0),
+    ("up_44k_48k", 44100, 48000, 2.0, 180.15, 0),
+    ("down_96k_44k", 96000, 44100, 2.0, 180.15, 0),
+    ("x4_up_hb", 44100, 176400, 2.0, 180.15, 0),
+    ("preset_def", 44100, 96000, 2.0, 206.91, 0),
+    ("poly_96001", 44100, 96001, 2.0, 180.15, 0),
+]
+
+
+@pytest.mark.parametrize("cfg", HP_CONFIGS, ids=[c[0] for c in HP_CONFIGS])
+def test_high_precision_meets_golden_class(cfg):
+    """precision="high" (df32 convolver FFTs) must meet the reference's
+    -141 dB golden-equality threshold (bench/README.md:9-11) in float32-only
+    TPU arithmetic."""
+    label, src, dst, tb, atten, phase = cfg
+    n = 12000
+    x = lcg_uniform(101, n)
+    orc = OracleResampler(src, dst, 4096, tb, atten, phase)
+    out_len = int(np.floor(n * dst / src))
+    ref = orc.oneshot(x, out_len)
+    rs = Resampler(src, dst, tb, atten, phase, dtype="float32",
+                   plan=orc.plan, precision="high")
+    y = np.asarray(rs.oneshot(x, out_len), dtype=np.float64)
+    d = rms_db(y - ref)
+    assert d < -141.0, f"{label}: {d:.1f} dB"
+
+
 def test_batch_channels_consistent():
     """Multi-channel batch must equal per-channel runs exactly."""
     src, dst = 44100, 96000
