@@ -44,15 +44,33 @@ def main():
         rng.standard_normal((channels, n_in)) * 0.5, dtype=dtype))
         for _ in range(2)]
 
-    fn = jax.jit(rs._chain)
-    for x in xs:
-        fn(x).block_until_ready()  # compile + warmup
+    # Timing over the remote-TPU tunnel: per-iteration host syncs measure
+    # round-trip latency, and plain block_until_ready can acknowledge before
+    # real completion.  Instead the iteration loop runs ON DEVICE inside one
+    # jitted fori_loop, each iteration data-dependent on the previous
+    # checksum (so nothing can be elided or overlapped), with a single
+    # scalar fetched at the end.
+    chain = rs._chain
+
+    @jax.jit
+    def run(x0, x1, n):
+        def body(i, c):
+            x = jax.lax.cond(i % 2 == 0, lambda: x0, lambda: x1)
+            y = chain(x + c * 1e-30)
+            return jnp.sum(y[:, 1024:1032])
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    float(run(xs[0], xs[1], 1))  # compile + warmup
+    t1 = time.perf_counter()
+    float(run(xs[0], xs[1], 1))
+    t_one = time.perf_counter() - t1  # dispatch + 1 iter
 
     t0 = time.perf_counter()
-    for i in range(iters):
-        y = fn(xs[i % 2])
-        y.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+    acc = float(run(xs[0], xs[1], iters + 1))
+    t_many = time.perf_counter() - t0  # dispatch + (iters+1) iters
+    dt = (t_many - t_one) / iters  # pure per-iteration device time
+    assert np.isfinite(acc)
 
     mrops = 1e-6 * channels * n_in / dt
     print(json.dumps({

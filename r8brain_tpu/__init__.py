@@ -20,6 +20,9 @@ Public API:
 from .design.lpfilter import LINEAR_PHASE, MIN_PHASE, build_lp_filter, get_lp_filter
 from .models.oracle import OracleResampler
 from .models.plan import Plan, make_plan
+from .models.resampler import (Resampler, Resampler16, Resampler16IR,
+                               Resampler24)
+from .models.stream import StreamResampler
 
 __version__ = "0.1.0"
 
@@ -31,5 +34,10 @@ __all__ = [
     "OracleResampler",
     "Plan",
     "make_plan",
+    "Resampler",
+    "Resampler16",
+    "Resampler16IR",
+    "Resampler24",
+    "StreamResampler",
     "__version__",
 ]

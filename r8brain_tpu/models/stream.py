@@ -1,0 +1,353 @@
+"""Push-mode streaming resampler (CDSPResampler::process equivalent).
+
+The reference's `process(ip, l, op&)` is sample-serial with internal ring
+buffers (CDSPResampler.h:559-575).  The TPU-native streaming model instead
+runs the whole-array stage chain over fixed-size *blocks* with a carried
+device-side history window:
+
+* Plans with a finite shift-invariance period (every rational rate pair —
+  see parallel/sharding.chain_shift_period) stream with period-aligned
+  blocks: after the first block, every call runs ONE jitted program of
+  static shape emitting exactly ``block * dst/src`` samples.  The carried
+  state is the last H input samples (H >= the chain's dependency span) —
+  the explicit-carry equivalent of the reference's per-stage ring buffers
+  (SURVEY.md §5 checkpoint state).
+* Plans whose final stage is a polynomial-mode fractional interpolator
+  (irrational ratios) stream the rational prefix the same way and drive the
+  interpolator with host-computed absolute read positions passed as device
+  arguments each block (the resettable-counter timing of
+  CDSPFracInterpolator.h:907-919 lives on the host), emitting into a
+  fixed-capacity buffer with a valid-count.
+* Plans with a polynomial interpolator mid-chain (intermediate-
+  interpolation branch at an irrational total ratio) are not yet
+  streamable — use oneshot.
+
+The streamed output is bit-identical to oneshot over the same total input:
+tests/test_stream.py asserts equality for mixed chunk sizes.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.stages import FracPolyExec, build_exec
+from .lengths import chain_out_len, frac_positions, stage_out_len
+from .plan import FracStage
+from .resampler import Resampler
+
+__all__ = ["StreamResampler"]
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+class _PeriodStream:
+    """Streaming executor for a chain with shift period (p_in, p_out)."""
+
+    def __init__(self, rs: Resampler, stages, block_len: int,
+                 p_in: int, p_out: int, span: int):
+        self.execs = [build_exec(s, rs.dtype, rs.precision) for s in stages]
+        self.stages = stages
+        self.dtype = rs.dtype
+        self.p_in, self.p_out = p_in, p_out
+        L = _round_up(max(block_len, 2 * p_in), p_in)
+        H = _round_up(span + 64, p_in)
+        # steady-state latency in output samples: n*r - out_len(n) is
+        # constant for period-aligned n past warmup
+        n0 = _round_up(H + L + span, p_in)
+        lat_o = n0 * p_out // p_in - chain_out_len(stages, n0)
+        W0 = H * p_out // p_in - lat_o
+        while W0 < 0:
+            H += _round_up(-W0 * p_in // p_out + p_in, p_in)
+            W0 = H * p_out // p_in - lat_o
+        self.L, self.H, self.W0 = L, H, W0
+        self.out_per_block = L * p_out // p_in
+        self._jit_first = jax.jit(self._chain)
+        self._jit_steady = jax.jit(self._steady)
+        self.reset(None)
+
+    def _chain(self, x):
+        for e in self.execs:
+            x = e.apply(x)
+        return x
+
+    def _steady(self, hist, block):
+        window = jnp.concatenate([hist, block], axis=1)
+        y = self._chain(window)
+        return (y[:, self.W0 : self.W0 + self.out_per_block],
+                window[:, -self.H :])
+
+    def reset(self, channels: Optional[int]):
+        self.hist = None
+        self.n_in = 0
+
+    def process_block(self, block: jnp.ndarray) -> np.ndarray:
+        """block: [C, L] device/host array -> emitted outputs (numpy)."""
+        C = block.shape[0]
+        assert block.shape[1] == self.L
+        if self.hist is None:
+            # true stream start: run the chain from absolute zero
+            y = self._jit_first(block)
+            window = block
+            self.hist = window[:, -self.H :] if self.L >= self.H else \
+                jnp.pad(window, ((0, 0), (self.H - self.L, 0)))[:, -self.H :]
+            self.n_in = self.L
+            return np.asarray(y)
+        y, self.hist = self._jit_steady(self.hist, block)
+        self.n_in += self.L
+        return np.asarray(y)
+
+
+class _PolyTailStream:
+    """Streaming final-stage polynomial interpolator with host-side timing."""
+
+    def __init__(self, spec: FracStage, dtype, in_per_block: int,
+                 first_in: int):
+        self.spec = spec
+        self.exec = FracPolyExec(spec, dtype)
+        self.dtype = dtype
+        fl = spec.filter_len
+        self.fll = fl // 2 - 1
+        r = spec.src_rate / spec.dst_rate
+        self.H = fl + int(math.ceil(r)) + 8
+        self.caps = {}
+        self.in_per_block = in_per_block
+        self.first_in = first_in
+        self._jits = {}
+        self.reset()
+
+    def reset(self):
+        self.n_in = 0  # post-skip input samples received
+        self.m_out = 0  # outputs emitted
+        self.skip_left = self.spec.in_latency
+        self.buf = None  # device [C, H] history (absolute end = n_in)
+
+    def _apply(self, window, start_rel, fti, t):
+        ex = self.exec
+        c0 = jnp.asarray(ex.c0)[fti]
+        c1 = jnp.asarray(ex.c1)[fti]
+        c2 = jnp.asarray(ex.c2)[fti]
+        flt = c0 + (c1 + c2 * t[:, None]) * t[:, None]
+        C = window.shape[0]
+        y = jnp.zeros((C, start_rel.shape[0]), dtype=self.dtype)
+        for i in range(ex.fl):
+            y = y + flt[None, :, i] * jnp.take(window, start_rel + i, axis=1)
+        return y
+
+    def _jit_for(self, win_len: int, cap: int):
+        key = (win_len, cap)
+        if key not in self._jits:
+            self._jits[key] = jax.jit(self._apply)
+        return self._jits[key]
+
+    def process_block(self, z: jnp.ndarray) -> np.ndarray:
+        """z: [C, n] fractional-stage input samples -> (outputs numpy)."""
+        C, n = z.shape
+        if self.skip_left > 0:
+            d = min(self.skip_left, n)
+            z = z[:, d:]
+            n -= d
+            self.skip_left -= d
+        if n == 0:
+            return np.zeros((C, 0), dtype=np.float64)
+        if self.buf is None:
+            self.buf = jnp.zeros((C, self.H), dtype=self.dtype)
+        window = jnp.concatenate([self.buf, z], axis=1)
+        base = self.n_in - self.H  # absolute index of window[:, 0]
+        self.n_in += n
+        self.buf = window[:, -self.H :]
+
+        m_avail = stage_out_len(self.spec, self.n_in + self.spec.in_latency)
+        count = m_avail - self.m_out
+        if count <= 0:
+            return np.zeros((C, 0), dtype=np.float64)
+        cap = int(math.ceil(
+            (n + 1) * self.spec.dst_rate / self.spec.src_rate)) + 2
+        cap = max(cap, count)
+        s, f = frac_positions(self.spec, self.m_out, count)
+        fr = f * self.exec.fracs
+        fti = np.floor(fr).astype(np.int32)
+        t = (fr - fti).astype(np.float32 if self.dtype == jnp.float32
+                              else np.float64)
+        start_rel = (s - self.fll - base).astype(np.int32)
+        assert start_rel.min() >= 0, "poly window underrun"
+        assert start_rel.max() + self.exec.fl <= window.shape[1]
+        # pad to capacity for shape stability
+        pad = cap - count
+        if pad:
+            start_rel = np.pad(start_rel, (0, pad), mode="edge")
+            fti = np.pad(fti, (0, pad), mode="edge")
+            t = np.pad(t, (0, pad), mode="edge")
+        fn = self._jit_for(window.shape[1], cap)
+        y = fn(window, jnp.asarray(start_rel), jnp.asarray(fti),
+               jnp.asarray(t))
+        self.m_out = m_avail
+        return np.asarray(y[:, :count])
+
+
+class StreamResampler:
+    """Chunked push-mode front-end over a Resampler's plan.
+
+    process(x[C, n]) accepts arbitrary chunk lengths and returns all output
+    samples computable so far; flush() drains the pipeline's latency tail
+    with zero input (CDSPResampler.h:592-651 zero-flush semantics).
+    """
+
+    def __init__(self, rs: Resampler, block_len: int = 8192):
+        from ..parallel.sharding import chain_input_span, chain_shift_period
+
+        self.rs = rs
+        self.plan = rs.plan
+        stages = self.plan.stages
+        self._n_in_total = 0
+        self._n_out_total = 0
+        self._pending = None  # host buffer [C, <L]
+        self._channels = None
+        self._squeeze = False
+
+        period = chain_shift_period(self.plan)
+        if period is not None or not stages:
+            p_in, p_out = period if period else (1, 1)
+            self._mode = "period"
+            self._core = _PeriodStream(
+                rs, stages, block_len, p_in, p_out,
+                chain_input_span(self.plan)) if stages else None
+            self.block = self._core.L if stages else max(1, block_len)
+            return
+        # split the chain at the (single) polynomial interpolator; the
+        # prefix is rational (periodic), the suffix — when present (the
+        # intermediate-interpolation branch, CDSPResampler.h:286-324) — is
+        # pure integer upsampling (conv up/1 + half-band 2X), which is
+        # shift-invariant under EVERY integer shift (period 1), so it can
+        # be re-blocked on fixed boundaries regardless of the poly stage's
+        # varying per-block output counts.
+        poly_idx = [i for i, s in enumerate(stages)
+                    if isinstance(s, FracStage) and not s.is_whole]
+        assert len(poly_idx) == 1
+        pi = poly_idx[0]
+        prefix, suffix = stages[:pi], stages[pi + 1 :]
+
+        def _subplan(sub):
+            return self.plan.__class__(
+                self.plan.src_rate, self.plan.dst_rate, self.plan.trans_band,
+                self.plan.atten, self.plan.phase, tuple(sub),
+                self.plan.latency_frac)
+
+        pperiod = chain_shift_period(_subplan(prefix))
+        if pperiod is None:
+            raise NotImplementedError(
+                "streaming needs a rational-prefix plan; use oneshot")
+        self._mode = "poly"
+        p_in, p_out = pperiod
+        self._core = _PeriodStream(rs, prefix, block_len, p_in, p_out,
+                                   chain_input_span(_subplan(prefix))) \
+            if prefix else None
+        self.block = self._core.L if prefix else _round_up(block_len, 1)
+        first_in = chain_out_len(prefix, self.block)
+        self._tail = _PolyTailStream(
+            stages[pi], rs.dtype,
+            self._core.out_per_block if prefix else self.block, first_in)
+        self._suf = None
+        self._suf_pending = None
+        if suffix:
+            speriod = chain_shift_period(_subplan(suffix))
+            assert speriod is not None and speriod[0] == 1, \
+                "suffix after a polynomial stage must be integer-upsampling"
+            self._suf = _PeriodStream(rs, suffix, block_len, speriod[0],
+                                      speriod[1],
+                                      chain_input_span(_subplan(suffix)))
+
+    def clear(self):
+        self._n_in_total = 0
+        self._n_out_total = 0
+        self._pending = None
+        if self._core is not None:
+            self._core.reset(self._channels)
+        if self._mode == "poly":
+            self._tail.reset()
+            if self._suf is not None:
+                self._suf.reset(self._channels)
+                self._suf_pending = None
+
+    def _emit(self, block_np: np.ndarray) -> np.ndarray:
+        x = jnp.asarray(block_np, dtype=self.rs.dtype)
+        if self._mode == "period":
+            if self._core is None:  # passthrough
+                return np.asarray(x, dtype=np.float64)
+            return np.asarray(self._core.process_block(x), dtype=np.float64)
+        y = self._core.process_block(x) if self._core is not None else \
+            np.asarray(x)
+        y = self._tail.process_block(jnp.asarray(y, dtype=self.rs.dtype))
+        if self._suf is None:
+            return np.asarray(y, dtype=np.float64)
+        # re-block the variable-count poly output on the suffix grid
+        buf = y if self._suf_pending is None else \
+            np.concatenate([self._suf_pending, y], axis=1)
+        L2 = self._suf.L
+        outs = []
+        while buf.shape[1] >= L2:
+            outs.append(np.asarray(
+                self._suf.process_block(
+                    jnp.asarray(buf[:, :L2], dtype=self.rs.dtype)),
+                dtype=np.float64))
+            buf = buf[:, L2:]
+        self._suf_pending = buf
+        return (np.concatenate(outs, axis=1) if outs
+                else np.zeros((y.shape[0], 0), dtype=np.float64))
+
+    def process(self, x) -> np.ndarray:
+        """x: [C, n] or [n] chunk; returns [C, m] (or [m]) new outputs."""
+        x = np.asarray(x)
+        squeeze = x.ndim == 1
+        if squeeze:
+            x = x[None]
+        C = x.shape[0]
+        if self._channels is None:
+            self._channels = C
+            self._squeeze = squeeze
+        self._n_in_total += x.shape[1]
+        buf = x if self._pending is None else \
+            np.concatenate([self._pending, x], axis=1)
+        outs = []
+        L = self.block
+        while buf.shape[1] >= L:
+            outs.append(self._emit(buf[:, :L]))
+            buf = buf[:, L:]
+        self._pending = buf
+        y = (np.concatenate(outs, axis=1) if outs
+             else np.zeros((C, 0), dtype=np.float64))
+        self._n_out_total += y.shape[1]
+        return y[0] if squeeze else y
+
+    def flush(self, out_len: Optional[int] = None) -> np.ndarray:
+        """Feed zeros until ``out_len`` total outputs have been produced
+        (default: floor(total_input * dst/src))."""
+        if out_len is None:
+            out_len = int(math.floor(
+                self._n_in_total * self.plan.dst_rate / self.plan.src_rate))
+        C = self._channels or 1
+        outs = []
+        produced = self._n_out_total
+        guard = 0
+        sq = self._squeeze
+        self._squeeze = False
+        while produced < out_len and guard < 10000:
+            z = np.zeros((C, self.block), dtype=np.float64)
+            y = self.process(z)
+            produced = self._n_out_total
+            outs.append(y)
+            guard += 1
+        y = (np.concatenate(outs, axis=1) if outs
+             else np.zeros((C, 0), dtype=np.float64))
+        extra = produced - out_len
+        if extra > 0:
+            y = y[:, : y.shape[1] - extra]
+            self._n_out_total = out_len
+        self._squeeze = sq
+        return y[0] if sq else y

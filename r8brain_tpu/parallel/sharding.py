@@ -38,7 +38,10 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.lengths import chain_in_for_out, chain_out_len
@@ -208,6 +211,6 @@ class ShardedResampler:
         spec_out = P(self.ch_axis, self.t_axis)
         local = self._build_local(M_s, L_s, H, W, R)
         fn = shard_map(local, mesh=self.mesh, in_specs=(spec_in,),
-                       out_specs=spec_out, check_rep=False)
+                       out_specs=spec_out, check_vma=False)
         y = jax.jit(fn)(x)
         return y[:C, :out_len]

@@ -1,0 +1,87 @@
+"""Streaming (push-mode) vs oneshot equality.
+
+The reference's central streaming contract: feeding a signal in chunks of
+any size produces the same output stream as one big call
+(CDSPBlockConvolver overlap-save is invariant to segmentation).  Here the
+device-side block streaming must reproduce the whole-array oneshot bit-for-
+bit in float64 and to storage precision in float32.
+"""
+
+import numpy as np
+import pytest
+
+from r8brain_tpu.models.resampler import Resampler
+from r8brain_tpu.models.stream import StreamResampler
+
+from .helpers import lcg_uniform, rms_db
+
+CONFIGS = [
+    ("up_44k_96k", 44100, 96000, 180.15),
+    ("up_44k_48k", 44100, 48000, 180.15),
+    ("down_96k_44k", 96000, 44100, 180.15),
+    ("x4_up", 44100, 176400, 140.0),
+    ("x4_down", 176400, 44100, 140.0),
+    ("poly_mid_96001", 44100, 96001, 160.0),
+    ("poly_down", 96001, 44100, 140.0),
+    ("poly_up_80k", 44100, 80000, 160.0),
+]
+
+
+@pytest.mark.parametrize("cfg", CONFIGS, ids=[c[0] for c in CONFIGS])
+@pytest.mark.parametrize("chunks", ["even", "ragged"])
+def test_stream_equals_oneshot(cfg, chunks):
+    label, src, dst, atten = cfg
+    rs = Resampler(src, dst, 2.0, atten, 0, dtype="float64")
+    n = 26000
+    C = 2
+    x = np.stack([lcg_uniform(7 + i, n) for i in range(C)])
+    out_len = rs.default_out_len(n)
+    ref = np.asarray(rs.oneshot(x, out_len))
+
+    st = StreamResampler(rs, block_len=4096)
+    if chunks == "even":
+        sizes = [5000] * 5 + [1000]
+    else:
+        sizes = [1, 999, 7000, 3, 12000, 4997, 1000]
+    pos = 0
+    outs = []
+    for s in sizes:
+        outs.append(st.process(x[:, pos : pos + s]))
+        pos += s
+    assert pos == n
+    outs.append(st.flush(out_len))
+    y = np.concatenate(outs, axis=1)
+    assert y.shape == ref.shape, (y.shape, ref.shape)
+    # identical math modulo f64 FFT framing noise (the streaming window
+    # grid differs from the oneshot grid, as the reference's flip-flop
+    # buffers differ from any other segmentation)
+    d = rms_db(y - ref)
+    assert d < -300.0, f"{label}: {d:.1f} dB"
+
+
+def test_stream_clear_reuse():
+    rs = Resampler(44100, 96000, 2.0, 140.0, 0, dtype="float64")
+    st = StreamResampler(rs, block_len=2048)
+    x = lcg_uniform(3, 9000)[None]
+    out_len = rs.default_out_len(9000)
+    y1 = np.concatenate([st.process(x), st.flush(out_len)], axis=1)
+    st.clear()
+    y2 = np.concatenate([st.process(x), st.flush(out_len)], axis=1)
+    assert np.array_equal(y1, y2)  # clear() is a full deterministic reset
+    ref = np.asarray(rs.oneshot(x, out_len))
+    from .helpers import rms_db
+    assert rms_db(y1 - ref) < -300.0
+
+
+def test_stream_f32_matches_oneshot_f32():
+    """Same float32 arithmetic => identical blocks after warmup; allow only
+    storage-level differences from differing FFT framing."""
+    rs = Resampler(44100, 96000, 2.0, 180.15, 0, dtype="float32")
+    st = StreamResampler(rs, block_len=4096)
+    n = 20000
+    x = lcg_uniform(9, n)[None].astype(np.float32)
+    out_len = rs.default_out_len(n)
+    ref = np.asarray(rs.oneshot(x, out_len), dtype=np.float64)
+    y = np.concatenate([st.process(x), st.flush(out_len)], axis=1)
+    assert y.shape == ref.shape
+    assert rms_db(y - ref) < -135.0
