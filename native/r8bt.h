@@ -1,0 +1,62 @@
+/* r8bt.h — C ABI for the r8brain_tpu native streaming engine.
+ *
+ * Counterpart of the reference's flat DLL interface (DLL/r8bsrc.h:68-132:
+ * r8b_create / r8b_delete / r8b_clear / r8b_inlen / r8b_process).  The
+ * TPU framework splits design from execution: filter design runs in the
+ * Python design layer (r8brain_tpu.design) and is serialized into a plan
+ * blob (r8brain_tpu.native.build_plan_blob); this engine executes the plan
+ * as a sample-exact float64 streaming pipeline with no Python dependency —
+ * the host-side deployment runtime (one handle per channel, the reference's
+ * thread-safety contract, README.md:52-55).
+ *
+ * Blob layout (little-endian):
+ *   magic "R8BT" | u32 version | f64 src_rate | f64 dst_rate
+ *   | f64 latency_frac | u32 n_stages | stages...
+ * stage: u32 kind (0=conv,1=hb_up,2=hb_down,3=frac_whole,4=frac_poly)
+ *   conv:       i64 up, down, offset | i64 K | f64 kernel[K]
+ *   hb_up/down: i64 nt, out_latency | f64 taps[nt]
+ *   frac_whole: i64 in_step, out_step, w0, in_latency, fl
+ *               | f64 table[out_step*fl]
+ *   frac_poly:  f64 src_rate, dst_rate, init_frac_pos | i64 in_latency,
+ *               fl, fracs, rows | f64 table[rows*fl*3]
+ */
+#ifndef R8BT_H
+#define R8BT_H
+
+#include <stddef.h>
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+
+typedef void *r8bt_handle;
+
+/* Create a single-channel streaming resampler from a serialized plan.
+ * Returns NULL on parse failure. */
+r8bt_handle r8bt_create_from_blob(const void *blob, size_t len);
+
+void r8bt_delete(r8bt_handle h);
+
+/* Reset all stream state (CDSPResampler::clear equivalent). */
+void r8bt_clear(r8bt_handle h);
+
+/* Push in_len samples; *out receives a pointer (owned by the handle,
+ * valid until the next call) to the newly emitted samples.  Returns the
+ * emitted count, or -1 on error. */
+long r8bt_process(r8bt_handle h, const double *in, long in_len,
+                  double **out);
+
+/* Exact minimal input count that yields >= out_count outputs
+ * (getInputRequiredForOutput, CDSPResampler.h:476-484). */
+long r8bt_in_required_for_out(r8bt_handle h, long out_count);
+
+double r8bt_latency_frac(r8bt_handle h);
+
+/* Library version string. */
+const char *r8bt_version(void);
+
+#ifdef __cplusplus
+}
+#endif
+
+#endif /* R8BT_H */

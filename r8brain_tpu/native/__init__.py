@@ -1,0 +1,172 @@
+"""ctypes binding + plan serialization for the native C++ engine.
+
+The reference ships a flat C DLL (DLL/r8bsrc.h) so hosts without C++ can
+stream-convert; here the native engine (native/r8bt.cpp, built to
+libr8bt.so) executes plans designed by the Python layer — deployment-grade
+host-side streaming with no Python in the audio path.  This module provides:
+
+  * build_plan_blob(plan) — serialize a planned stage chain + all designed
+    coefficients into the engine's binary format;
+  * NativeResampler — one-channel streaming handle (the reference's
+    one-object-per-channel contract) over ctypes.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import struct
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from ..models.plan import (ConvStage, FracStage, HBDownStage, HBUpStage,
+                           Plan, make_plan)
+
+__all__ = ["build_plan_blob", "NativeResampler", "load_library",
+           "build_library"]
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
+_LIB_PATH = _NATIVE_DIR / "libr8bt.so"
+_lib = None
+
+
+def build_library() -> Path:
+    """Compile libr8bt.so via the Makefile (g++)."""
+    subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
+                   capture_output=True)
+    return _LIB_PATH
+
+
+def load_library(build_if_missing: bool = True) -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB_PATH.exists() and build_if_missing:
+        build_library()
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    lib.r8bt_create_from_blob.restype = ctypes.c_void_p
+    lib.r8bt_create_from_blob.argtypes = [ctypes.c_void_p, ctypes.c_size_t]
+    lib.r8bt_delete.argtypes = [ctypes.c_void_p]
+    lib.r8bt_clear.argtypes = [ctypes.c_void_p]
+    lib.r8bt_process.restype = ctypes.c_long
+    lib.r8bt_process.argtypes = [ctypes.c_void_p,
+                                 ctypes.POINTER(ctypes.c_double),
+                                 ctypes.c_long,
+                                 ctypes.POINTER(ctypes.POINTER(
+                                     ctypes.c_double))]
+    lib.r8bt_in_required_for_out.restype = ctypes.c_long
+    lib.r8bt_in_required_for_out.argtypes = [ctypes.c_void_p, ctypes.c_long]
+    lib.r8bt_latency_frac.restype = ctypes.c_double
+    lib.r8bt_latency_frac.argtypes = [ctypes.c_void_p]
+    lib.r8bt_version.restype = ctypes.c_char_p
+    _lib = lib
+    return lib
+
+
+def build_plan_blob(plan: Plan) -> bytes:
+    out = bytearray()
+    out += b"R8BT"
+    out += struct.pack("<I", 1)
+    out += struct.pack("<ddd", plan.src_rate, plan.dst_rate,
+                       plan.latency_frac)
+    out += struct.pack("<I", len(plan.stages))
+    for s in plan.stages:
+        if isinstance(s, ConvStage):
+            k = np.asarray(s.filt.kernel, dtype="<f8")
+            out += struct.pack("<I", 0)
+            out += struct.pack("<qqqq", s.up, s.down, s.offset, k.shape[0])
+            out += k.tobytes()
+        elif isinstance(s, (HBUpStage, HBDownStage)):
+            t = np.asarray(s.hb.taps, dtype="<f8")
+            out += struct.pack("<I", 1 if isinstance(s, HBUpStage) else 2)
+            out += struct.pack("<qq", t.shape[0], s.out_latency)
+            out += t.tobytes()
+        elif isinstance(s, FracStage) and s.is_whole:
+            tab = np.asarray(s.bank.table, dtype="<f8")
+            out += struct.pack("<I", 3)
+            out += struct.pack("<qqqqq", s.in_step, s.out_step,
+                               s.init_frac_pos_w, s.in_latency,
+                               s.filter_len)
+            out += tab.tobytes()
+        elif isinstance(s, FracStage):
+            tab = np.asarray(s.bank.table, dtype="<f8")
+            out += struct.pack("<I", 4)
+            out += struct.pack("<ddd", s.src_rate, s.dst_rate,
+                               s.init_frac_pos)
+            out += struct.pack("<qqqq", s.in_latency, s.filter_len,
+                               s.bank.fracs, tab.shape[0])
+            out += tab.tobytes()
+        else:
+            raise TypeError(s)
+    return bytes(out)
+
+
+class NativeResampler:
+    """Single-channel push-mode resampler over the native engine."""
+
+    def __init__(self, src_rate: float, dst_rate: float,
+                 trans_band: float = 2.0, atten: float = 206.91,
+                 phase: int = 0, plan: Optional[Plan] = None):
+        self.plan = plan if plan is not None else make_plan(
+            src_rate, dst_rate, trans_band, atten, phase)
+        self._lib = load_library()
+        blob = build_plan_blob(self.plan)
+        self._blob = blob  # keep alive
+        self._h = self._lib.r8bt_create_from_blob(
+            ctypes.cast(ctypes.c_char_p(blob), ctypes.c_void_p), len(blob))
+        if not self._h:
+            raise RuntimeError("native engine rejected the plan blob")
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.r8bt_delete(h)
+            self._h = None
+
+    def clear(self):
+        self._lib.r8bt_clear(self._h)
+
+    def process(self, x: np.ndarray) -> np.ndarray:
+        x = np.ascontiguousarray(x, dtype=np.float64)
+        outp = ctypes.POINTER(ctypes.c_double)()
+        n = self._lib.r8bt_process(
+            self._h, x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            x.shape[0], ctypes.byref(outp))
+        if n < 0:
+            raise RuntimeError("r8bt_process failed")
+        if n == 0:
+            return np.zeros(0, dtype=np.float64)
+        return np.ctypeslib.as_array(outp, shape=(n,)).copy()
+
+    def get_input_required_for_output(self, m: int) -> int:
+        return int(self._lib.r8bt_in_required_for_out(self._h, m))
+
+    @property
+    def latency_frac(self) -> float:
+        return float(self._lib.r8bt_latency_frac(self._h))
+
+    def oneshot(self, x: np.ndarray, out_len: Optional[int] = None
+                ) -> np.ndarray:
+        x = np.asarray(x, dtype=np.float64)
+        if out_len is None:
+            out_len = int(np.floor(
+                x.shape[0] * self.plan.dst_rate / self.plan.src_rate))
+        self.clear()
+        out = []
+        total = 0
+        pos = 0
+        chunk = 4096
+        while total < out_len:
+            if pos < x.shape[0]:
+                c = x[pos : pos + chunk]
+                pos += c.shape[0]
+            else:
+                c = np.zeros(chunk, dtype=np.float64)
+            y = self.process(c)
+            out.append(y)
+            total += y.shape[0]
+        self.clear()
+        y = np.concatenate(out) if out else np.zeros(0)
+        return y[:out_len]

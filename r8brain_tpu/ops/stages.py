@@ -70,20 +70,43 @@ def _conv1d(x: jnp.ndarray, kernel: jnp.ndarray, stride: int = 1,
 
 
 class ConvExec:
-    """Overlap-save FFT convolver with integer up/down resampling.
+    """Convolver with integer up/down resampling.
 
     Content semantics (identical to the oracle's OracleConv):
         u = zero-stuffed input, w = kernel (*) u (causal),
         y[r] = w[r*down + offset],  r in [0, M).
+
+    Engines:
+      * "direct" (default on the f32 fast path): polyphase MXU matmul.
+        For outputs r = m*up + j the kernel indices t_j*down+off - s*up are
+        independent of m, so the whole stage is ONE strided convolution
+        with `up` output features over windows x[m*down + s] — XLA lowers
+        it onto the MXU.  ~K/up MACs per output (optimal polyphase); far
+        faster on TPU than XLA's FFT, which runs at a fraction of VPU peak.
+      * "fft": batched overlap-save rfft/irfft (the reference's execution
+        model, CDSPBlockConvolver.h:252-354); used for float64 (CPU oracle
+        parity) and as the basis of the df32 high-precision path.
     """
 
     def __init__(self, spec: ConvStage, dtype=jnp.float32, ext: int = 2,
-                 precision: str = "fast"):
+                 precision: str = "fast", engine: str = "auto"):
         self.spec = spec
         self.dtype = jnp.dtype(dtype)
         self.precision = precision if self.dtype == jnp.float32 else "fast"
+        if engine == "auto":
+            # f32 fast path: polyphase MXU engine.  f32 high precision:
+            # df32-FFT (backend-independent -145 dB guarantee; the chunked
+            # direct variant is reachable via engine="direct" but its gain
+            # depends on how the backend accumulates f32 convolutions).
+            # f64 (CPU parity/testing): FFT overlap-save.
+            engine = ("direct" if (self.dtype == jnp.float32
+                                   and self.precision == "fast") else "fft")
+        self.engine = engine
         k = np.asarray(spec.filt.kernel, dtype=np.float64)
         self.K = k.shape[0]
+        if engine == "direct":
+            self._build_direct(k)
+            return
         P = self.K - 1
         nfft = max(128, _next_pow2(max(1, P)) << ext)
         # ensure the saved overlap fits in one hop (frame framing trick)
@@ -114,6 +137,71 @@ class ConvExec:
             self.H_hi = np.fft.rfft(k, n=nfft).astype(np.complex128)
             self.H_lo = None
 
+    def _build_direct(self, k: np.ndarray):
+        """Polyphase superkernel: SK[j, d] = k[(j*down + off) - (s_min+d)*up]
+        so that y[m*up + j] = sum_d SK[j, d] * x[m*down + s_min + d]."""
+        spec = self.spec
+        up, down, off = spec.up, spec.down, spec.offset
+        K = self.K
+        s_los, s_his = [], []
+        for j in range(up):
+            tj = j * down + off
+            s_los.append(-(-(tj - K + 1) // up))  # ceil
+            s_his.append(tj // up)
+        s_min = min(s_los)
+        s_max = max(s_his)
+        D = s_max - s_min + 1
+        sk = np.zeros((up, D), dtype=np.float64)
+        for j in range(up):
+            tj = j * down + off
+            for d in range(D):
+                kidx = tj - (s_min + d) * up
+                if 0 <= kidx < K:
+                    sk[j, d] = k[kidx]
+        self.sk_direct = sk.astype(self.dtype)
+        if self.precision == "high":
+            hi = sk.astype(np.float32)
+            self.sk_lo = (sk - hi.astype(np.float64)).astype(np.float32)
+        self.s_min = s_min
+        self.D_direct = D
+
+    def _apply_direct(self, x: jnp.ndarray, M: int) -> jnp.ndarray:
+        spec = self.spec
+        C, N = x.shape
+        up, down = spec.up, spec.down
+        n_cyc = -(-M // up)
+        pad_l = max(0, -self.s_min)
+        need = (n_cyc - 1) * down + self.s_min + self.D_direct
+        pad_r = max(0, need - N)
+        xp = jnp.pad(x.astype(self.dtype), ((0, 0), (pad_l, pad_r)))
+        xp = xp[:, self.s_min + pad_l :]
+        if self.precision == "high":
+            # Chunk the tap dimension so each MXU pass accumulates at most
+            # CHUNK products in f32, then combine the per-chunk partials
+            # with compensated (two-float) additions; apply the f64 kernel's
+            # f32 residual as one extra pass.  Kills both the long-
+            # accumulation roundoff and the kernel representation error at
+            # ~2x the fast path's cost (vs ~10x for a df32 FFT).
+            from .dfloat import df_add, quick_two_sum, two_sum
+            CHUNK = 128
+            D = self.D_direct
+            G = -(-D // CHUNK)
+            s_hi = None
+            for g in range(G):
+                kg = self.sk_direct[:, g * CHUNK : (g + 1) * CHUNK]
+                og = _conv1d(xp[:, g * CHUNK :], kg,
+                             stride=down)[:, :, :n_cyc]
+                if s_hi is None:
+                    s_hi, s_lo = og, jnp.zeros_like(og)
+                else:
+                    s_hi, s_lo = df_add((s_hi, s_lo), (og, jnp.zeros_like(og)))
+            lo = _conv1d(xp, self.sk_lo, stride=down)[:, :, :n_cyc]
+            out = s_hi + (s_lo + lo)
+        else:
+            out = _conv1d(xp, self.sk_direct, stride=down)[:, :, :n_cyc]
+        y = jnp.swapaxes(out, 1, 2).reshape(C, n_cyc * up)
+        return y[:, :M]
+
     def out_len(self, n_in: int) -> int:
         return stage_out_len(self.spec, n_in)
 
@@ -123,6 +211,8 @@ class ConvExec:
         M = self.out_len(N)
         if M <= 0:
             return jnp.zeros((C, 0), dtype=self.dtype)
+        if self.engine == "direct":
+            return self._apply_direct(x, M)
         up, down, off = spec.up, spec.down, spec.offset
         P, hop, nfft = self.K - 1, self.hop, self.nfft
 
@@ -235,10 +325,12 @@ class FracWholeExec:
     standard stride-I convolution with O output features.
     """
 
-    def __init__(self, spec: FracStage, dtype=jnp.float32):
+    def __init__(self, spec: FracStage, dtype=jnp.float32,
+                 precision: str = "fast"):
         assert spec.is_whole
         self.spec = spec
         self.dtype = jnp.dtype(dtype)
+        self.precision = precision if self.dtype == jnp.float32 else "fast"
         O, I, W0 = spec.out_step, spec.in_step, spec.init_frac_pos_w
         fl = spec.filter_len
         fll = fl // 2 - 1
@@ -255,6 +347,9 @@ class FracWholeExec:
         cols = (a - a[0])[:, None] + np.arange(fl)[None, :]
         sk[rows, cols] = table[f]
         self.sk = sk.astype(dtype)
+        if self.precision == "high":
+            hi = sk.astype(np.float32)
+            self.sk_lo = (sk - hi.astype(np.float64)).astype(np.float32)
         self.D = D
         self.pad_l = max(0, -self.a0)
 
@@ -279,8 +374,23 @@ class FracWholeExec:
         xp = jnp.pad(x, ((0, 0), (self.pad_l, pad_r)))
         start = self.a0 + self.pad_l
         xp = xp[:, start:]
-        out = _conv1d(xp, self.sk, stride=I)  # [C, O, >=n_cyc]
-        out = out[:, :, :n_cyc]
+        if self.precision == "high":
+            from .dfloat import df_add
+            CHUNK = 128
+            G = -(-self.D // CHUNK)
+            s_hi = None
+            for g in range(G):
+                kg = self.sk[:, g * CHUNK : (g + 1) * CHUNK]
+                og = _conv1d(xp[:, g * CHUNK :], kg, stride=I)[:, :, :n_cyc]
+                if s_hi is None:
+                    s_hi, s_lo = og, jnp.zeros_like(og)
+                else:
+                    s_hi, s_lo = df_add((s_hi, s_lo),
+                                        (og, jnp.zeros_like(og)))
+            lo = _conv1d(xp, self.sk_lo, stride=I)[:, :, :n_cyc]
+            out = s_hi + (s_lo + lo)
+        else:
+            out = _conv1d(xp, self.sk, stride=I)[:, :, :n_cyc]
         y = jnp.swapaxes(out, 1, 2).reshape(C, n_cyc * O)
         return y[:, :M]
 
@@ -356,6 +466,6 @@ def build_exec(spec: Stage, dtype=jnp.float32, precision: str = "fast"):
         return HBDownExec(spec, dtype)
     if isinstance(spec, FracStage):
         if spec.is_whole:
-            return FracWholeExec(spec, dtype)
+            return FracWholeExec(spec, dtype, precision=precision)
         return FracPolyExec(spec, dtype)
     raise TypeError(spec)

@@ -1,0 +1,81 @@
+"""Native C++ engine (native/r8bt.cpp via ctypes) vs the CPU oracle.
+
+The native engine is the deployment host runtime (the reference's DLL
+analog, DLL/r8bsrc.h); it must execute the planned chain sample-exactly.
+Skipped when no C++ toolchain is available.
+"""
+
+import shutil
+
+import numpy as np
+import pytest
+
+from .helpers import lcg_uniform, rms_db
+
+pytestmark = pytest.mark.skipif(shutil.which("g++") is None,
+                                reason="no C++ toolchain")
+
+
+@pytest.fixture(scope="module")
+def native():
+    from r8brain_tpu.native import NativeResampler, build_library
+
+    build_library()
+    return NativeResampler
+
+
+CONFIGS = [
+    ("up_44k_96k", 44100, 96000, 180.15),
+    ("down_96k_44k", 96000, 44100, 180.15),
+    ("up_44k_48k", 44100, 48000, 140.0),
+    ("poly_96001", 44100, 96001, 160.0),
+    ("x4_up", 44100, 176400, 140.0),
+    ("x4_down", 176400, 44100, 140.0),
+]
+
+
+@pytest.mark.parametrize("cfg", CONFIGS, ids=[c[0] for c in CONFIGS])
+def test_native_matches_oracle(native, cfg):
+    label, src, dst, atten = cfg
+    from r8brain_tpu.models.oracle import OracleResampler
+
+    nr = native(src, dst, 2.0, atten, 0)
+    orc = OracleResampler(src, dst, 4096, 2.0, atten, 0, plan=nr.plan)
+    n = 8000
+    x = lcg_uniform(3, n)
+    out_len = int(np.floor(n * dst / src))
+    y = nr.oneshot(x, out_len)
+    ref = orc.oneshot(x, out_len)
+    assert y.shape == ref.shape
+    d = rms_db(y - ref)
+    assert d < -280.0, f"{label}: {d:.1f} dB"
+    for m in (1, 100, 1000):
+        assert (nr.get_input_required_for_output(m)
+                == orc.get_input_required_for_output(m))
+    assert abs(nr.latency_frac - orc.latency_frac) < 1e-12
+
+
+def test_native_streaming_chunks(native):
+    from r8brain_tpu.models.oracle import OracleResampler
+
+    nr = native(44100, 96000, 2.0, 140.0, 0)
+    orc = OracleResampler(44100, 96000, 4096, 2.0, 140.0, 0, plan=nr.plan)
+    x = lcg_uniform(9, 10000)
+    rng = np.random.default_rng(0)
+    pos = 0
+    outs = []
+    nr.clear()
+    while pos < 10000:
+        c = int(rng.integers(1, 700))
+        outs.append(nr.process(x[pos : pos + c]))
+        pos += c
+    y = np.concatenate(outs)
+    ref_parts = []
+    pos = 0
+    while pos < 10000:
+        ref_parts.append(orc.process(x[pos : pos + 512]))
+        pos += 512
+    ref = np.concatenate(ref_parts)
+    m = min(len(y), len(ref))
+    assert m > 9000
+    assert rms_db(y[:m] - ref[:m]) < -280.0

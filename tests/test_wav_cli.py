@@ -1,0 +1,60 @@
+"""WAV I/O round-trips and the CLI converter end-to-end."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from r8brain_tpu.io.wavio import read_wav, write_wav
+
+from .helpers import rms_db
+
+
+@pytest.mark.parametrize("bits,float_fmt", [(16, False), (24, False),
+                                            (32, False), (32, True),
+                                            (64, True)])
+def test_wav_roundtrip(tmp_path, bits, float_fmt):
+    rng = np.random.default_rng(0)
+    x = np.clip(rng.standard_normal((2, 500)) * 0.3, -0.999, 0.999)
+    p = tmp_path / "t.wav"
+    write_wav(str(p), 48000, x, bits, float_fmt)
+    w = read_wav(str(p))
+    assert w.rate == 48000
+    assert w.data.shape == x.shape
+    tol = {16: 2 ** -15, 24: 2 ** -23, 32: 2 ** -22}.get(bits, 1e-12)
+    if float_fmt:
+        tol = 1e-6 if bits == 32 else 1e-15
+    assert np.abs(w.data - x).max() <= tol
+
+
+def test_cli_end_to_end(tmp_path):
+    """Convert a sine WAV 44.1k -> 96k through the CLI (oracle precision —
+    no device needed) and check the output spectrum."""
+    rate = 44100
+    n = 20000
+    x = 0.7 * np.sin(2 * np.pi * 1000.0 * np.arange(n) / rate)
+    inp = tmp_path / "in.wav"
+    outp = tmp_path / "out.wav"
+    write_wav(str(inp), rate, x[None], 24)
+    r = subprocess.run(
+        [sys.executable, "-m", "r8brain_tpu.cli", str(inp), str(outp),
+         "96000", "--precision", "oracle", "--bits", "24", "--bench"],
+        capture_output=True, text=True,
+        cwd=str(Path(__file__).resolve().parent.parent))
+    assert r.returncode == 0, r.stderr
+    assert "Mrops" in r.stderr
+    w = read_wav(str(outp))
+    assert w.rate == 96000
+    y = w.data[0]
+    assert w.frames == int(np.floor(n * 96000 / rate))
+    win = np.blackman(len(y))
+    S = np.abs(np.fft.rfft(y * win))
+    S /= S.max()
+    f = np.fft.rfftfreq(len(y), 1 / 96000.0)
+    assert abs(f[np.argmax(S)] - 1000.0) < 2.0
+    # exclude the Blackman leakage skirt around the carrier; remaining
+    # floor is 24-bit PCM quantization + resampler stop-band
+    spur = 20 * np.log10(S[(f < 500) | (f > 1500)].max() + 1e-300)
+    assert spur < -140.0
