@@ -43,6 +43,9 @@ class Resampler:
             src_rate, dst_rate, trans_band, atten, phase)
         self.dtype = jnp.dtype(dtype)
         self.precision = precision
+        from ..utils.trace import trace_plan
+        trace_plan(self.plan, context=f"resampler dtype={self.dtype} "
+                                      f"precision={precision}")
         self.execs = [build_exec(s, self.dtype, precision)
                       for s in self.plan.stages]
         self._jit_chain = jax.jit(self._chain)

@@ -325,6 +325,71 @@ class StreamResampler:
         self._n_out_total += y.shape[1]
         return y[0] if squeeze else y
 
+    # -- checkpoint / resume ---------------------------------------------
+    # The carried state is small and explicit (SURVEY.md §5: the reference's
+    # would-be checkpoint state is exactly its ring buffers + position
+    # counters); serializing it enables elastic restart mid-stream.
+
+    def get_state(self) -> dict:
+        st = {
+            "n_in_total": self._n_in_total,
+            "n_out_total": self._n_out_total,
+            "pending": None if self._pending is None
+            else np.asarray(self._pending),
+            "channels": self._channels,
+            "squeeze": self._squeeze,
+        }
+        if self._core is not None:
+            st["core"] = {
+                "hist": None if self._core.hist is None
+                else np.asarray(self._core.hist),
+                "n_in": self._core.n_in,
+            }
+        if self._mode == "poly":
+            t = self._tail
+            st["tail"] = {
+                "n_in": t.n_in, "m_out": t.m_out,
+                "skip_left": t.skip_left,
+                "buf": None if t.buf is None else np.asarray(t.buf),
+            }
+            if self._suf is not None:
+                st["suf"] = {
+                    "hist": None if self._suf.hist is None
+                    else np.asarray(self._suf.hist),
+                    "n_in": self._suf.n_in,
+                    "pending": None if self._suf_pending is None
+                    else np.asarray(self._suf_pending),
+                }
+        return st
+
+    def set_state(self, st: dict) -> None:
+        self._n_in_total = st["n_in_total"]
+        self._n_out_total = st["n_out_total"]
+        self._pending = None if st["pending"] is None \
+            else np.asarray(st["pending"])
+        self._channels = st["channels"]
+        self._squeeze = st["squeeze"]
+        if self._core is not None:
+            c = st["core"]
+            self._core.hist = None if c["hist"] is None \
+                else jnp.asarray(c["hist"], dtype=self.rs.dtype)
+            self._core.n_in = c["n_in"]
+        if self._mode == "poly":
+            t = self._tail
+            tl = st["tail"]
+            t.n_in = tl["n_in"]
+            t.m_out = tl["m_out"]
+            t.skip_left = tl["skip_left"]
+            t.buf = None if tl["buf"] is None \
+                else jnp.asarray(tl["buf"], dtype=self.rs.dtype)
+            if self._suf is not None:
+                sf = st["suf"]
+                self._suf.hist = None if sf["hist"] is None \
+                    else jnp.asarray(sf["hist"], dtype=self.rs.dtype)
+                self._suf.n_in = sf["n_in"]
+                self._suf_pending = None if sf["pending"] is None \
+                    else np.asarray(sf["pending"])
+
     def flush(self, out_len: Optional[int] = None) -> np.ndarray:
         """Feed zeros until ``out_len`` total outputs have been produced
         (default: floor(total_input * dst/src))."""

@@ -54,6 +54,23 @@ def _next_pow2(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
 
 
+def _frames(xp: jnp.ndarray, n_blocks: int, hop: int, L_f: int
+            ) -> jnp.ndarray:
+    """Overlapping frames [C, n_blocks, L_f] at stride ``hop`` via chunked
+    reshape+concat (no gather, no conv)."""
+    C = xp.shape[0]
+    n_seg = -(-L_f // hop)  # segments of length hop covering L_f
+    total = (n_blocks + n_seg) * hop
+    pad = total - xp.shape[1]
+    if pad > 0:
+        xp = jnp.pad(xp, ((0, 0), (0, pad)))
+    else:
+        xp = xp[:, :total]
+    chunks = xp.reshape(C, n_blocks + n_seg, hop)
+    segs = [chunks[:, e : n_blocks + e, :] for e in range(n_seg)]
+    return jnp.concatenate(segs, axis=-1)[:, :, :L_f]
+
+
 def _conv1d(x: jnp.ndarray, kernel: jnp.ndarray, stride: int = 1,
             precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """Batched correlation: out[c, f, n] = sum_j k[f, j] x[c, n*stride + j].
@@ -94,18 +111,19 @@ class ConvExec:
         self.dtype = jnp.dtype(dtype)
         self.precision = precision if self.dtype == jnp.float32 else "fast"
         if engine == "auto":
-            # f32 fast path: polyphase MXU engine.  f32 high precision:
-            # df32-FFT (backend-independent -145 dB guarantee; the chunked
-            # direct variant is reachable via engine="direct" but its gain
-            # depends on how the backend accumulates f32 convolutions).
+            # f32 fast path: banded-Toeplitz MXU matmul.  f32 high
+            # precision: df32-FFT (backend-independent -145 dB guarantee).
             # f64 (CPU parity/testing): FFT overlap-save.
-            engine = ("direct" if (self.dtype == jnp.float32
-                                   and self.precision == "fast") else "fft")
+            engine = ("toeplitz" if (self.dtype == jnp.float32
+                                     and self.precision == "fast")
+                      else "fft")
         self.engine = engine
         k = np.asarray(spec.filt.kernel, dtype=np.float64)
         self.K = k.shape[0]
-        if engine == "direct":
+        if engine in ("direct", "toeplitz"):
             self._build_direct(k)
+            if engine == "toeplitz":
+                self._build_toeplitz()
             return
         P = self.K - 1
         nfft = max(128, _next_pow2(max(1, P)) << ext)
@@ -165,6 +183,53 @@ class ConvExec:
         self.s_min = s_min
         self.D_direct = D
 
+    def _build_toeplitz(self, B: int = 512):
+        """Banded-Toeplitz matmul form of the polyphase superkernel.
+
+        XLA:TPU lowers long stride-1 1D convolutions as shift-and-add VPU
+        passes (measured ~13x slower than even its FFT); a dense matmul
+        against a banded Toeplitz operator is guaranteed MXU lowering:
+
+            y[(b*B + t)*up + j] = frames[b] . T[:, t*up + j]
+            frames[b, l] = x[b*B*down + s_min + l],  l in [0, (B-1)*down + D)
+            T[t*down + d, t*up + j] = SK[j, d]
+
+        FLOPs per output = ((B-1)*down + D)/up vs the optimal D/up — the
+        waste factor (1 + B*down/D) buys full MXU utilization.
+        """
+        spec = self.spec
+        up, down = spec.up, spec.down
+        D = self.D_direct
+        # keep the flop waste (B*down/D) bounded while B stays MXU-friendly
+        while B * down > 2 * D and B > 128:
+            B //= 2
+        L_f = (B - 1) * down + D
+        sk64 = self.sk_direct.astype(np.float64) if self.dtype != jnp.float64 \
+            else self.sk_direct
+        T = np.zeros((L_f, B * up), dtype=np.float64)
+        for t in range(B):
+            for j in range(up):
+                T[t * down : t * down + D, t * up + j] = sk64[j]
+        self.T_toep = T.astype(self.dtype)
+        self.B_toep = B
+        self.Lf_toep = L_f
+
+    def _apply_toeplitz(self, x: jnp.ndarray, M: int) -> jnp.ndarray:
+        spec = self.spec
+        C, N = x.shape
+        up, down = spec.up, spec.down
+        B, L_f = self.B_toep, self.Lf_toep
+        n_cyc = -(-M // up)
+        n_blocks = -(-n_cyc // B)
+        pad_l = max(0, -self.s_min)
+        xp = jnp.pad(x.astype(self.dtype), ((0, 0), (pad_l, 0)))
+        xp = xp[:, self.s_min + pad_l :]
+        frames = _frames(xp, n_blocks, B * down, L_f)
+        out = jnp.einsum("cbl,lk->cbk", frames, jnp.asarray(self.T_toep),
+                         precision=jax.lax.Precision.HIGHEST)
+        y = out.reshape(C, n_blocks * B * up)
+        return y[:, :M]
+
     def _apply_direct(self, x: jnp.ndarray, M: int) -> jnp.ndarray:
         spec = self.spec
         C, N = x.shape
@@ -211,6 +276,8 @@ class ConvExec:
         M = self.out_len(N)
         if M <= 0:
             return jnp.zeros((C, 0), dtype=self.dtype)
+        if self.engine == "toeplitz":
+            return self._apply_toeplitz(x, M)
         if self.engine == "direct":
             return self._apply_direct(x, M)
         up, down, off = spec.up, spec.down, spec.offset
@@ -326,11 +393,12 @@ class FracWholeExec:
     """
 
     def __init__(self, spec: FracStage, dtype=jnp.float32,
-                 precision: str = "fast"):
+                 precision: str = "fast", engine: str = "auto"):
         assert spec.is_whole
         self.spec = spec
         self.dtype = jnp.dtype(dtype)
         self.precision = precision if self.dtype == jnp.float32 else "fast"
+        self.engine = engine
         O, I, W0 = spec.out_step, spec.in_step, spec.init_frac_pos_w
         fl = spec.filter_len
         fll = fl // 2 - 1
@@ -352,6 +420,13 @@ class FracWholeExec:
             self.sk_lo = (sk - hi.astype(np.float64)).astype(np.float32)
         self.D = D
         self.pad_l = max(0, -self.a0)
+        if self.engine == "auto":
+            # im2col+matmul when windows barely overlap (the common case:
+            # in_step ~ filter span): guaranteed MXU lowering with a small
+            # duplication factor D/I.  Strided conv otherwise.
+            self.engine = ("im2col"
+                           if self.dtype == jnp.float32
+                           and self.D <= 4 * spec.in_step else "conv")
 
     def out_len(self, n_in: int) -> int:
         return stage_out_len(self.spec, n_in)
@@ -374,6 +449,18 @@ class FracWholeExec:
         xp = jnp.pad(x, ((0, 0), (self.pad_l, pad_r)))
         start = self.a0 + self.pad_l
         xp = xp[:, start:]
+        if self.engine == "im2col":
+            patches = _frames(xp, n_cyc, I, self.D)  # [C, n_cyc, D]
+            skT = jnp.asarray(self.sk.T)  # [D, O]
+            out = jnp.einsum("cnd,dk->cnk", patches, skT,
+                             precision=jax.lax.Precision.HIGHEST)
+            if self.precision == "high":
+                lo = jnp.einsum("cnd,dk->cnk", patches,
+                                jnp.asarray(self.sk_lo.T),
+                                precision=jax.lax.Precision.HIGHEST)
+                out = out + lo
+            y = out.reshape(C, n_cyc * O)
+            return y[:, :M]
         if self.precision == "high":
             from .dfloat import df_add
             CHUNK = 128

@@ -207,6 +207,9 @@ class ShardedResampler:
         C_pad = _round_up(C, self.n_ch)
         x = jnp.pad(x, ((0, C_pad - C), (0, max(0, T - N))))[:, :T]
 
+        from ..utils.trace import trace
+        trace("sharded_oneshot", n_ch=self.n_ch, n_t=self.n_t,
+              M_s=M_s, L_s=L_s, halo_left=H, warmup=W, halo_right=R)
         spec_in = P(self.ch_axis, self.t_axis)
         spec_out = P(self.ch_axis, self.t_axis)
         local = self._build_local(M_s, L_s, H, W, R)

@@ -85,3 +85,35 @@ def test_stream_f32_matches_oneshot_f32():
     y = np.concatenate([st.process(x), st.flush(out_len)], axis=1)
     assert y.shape == ref.shape
     assert rms_db(y - ref) < -135.0
+
+
+@pytest.mark.parametrize("cfg", [(44100, 96000, 140.0),
+                                 (44100, 96001, 140.0)],
+                         ids=["rational", "poly"])
+def test_stream_checkpoint_resume(cfg):
+    """get_state/set_state mid-stream: a resumed stream (even in a fresh
+    object) continues bit-identically (SURVEY.md §5 checkpoint state)."""
+    src, dst, atten = cfg
+    rs = Resampler(src, dst, 2.0, atten, 0, dtype="float64")
+    n = 20000
+    x = lcg_uniform(13, n)[None]
+    out_len = rs.default_out_len(n)
+
+    st = StreamResampler(rs, block_len=2048)
+    y1 = st.process(x[:, :11000])
+    ckpt = st.get_state()
+    y2a = st.process(x[:, 11000:])
+    y3a = st.flush(out_len)
+    full_a = np.concatenate([y1, y2a, y3a], axis=1)
+
+    st2 = StreamResampler(rs, block_len=2048)
+    st2.process(x[:, :1])  # arbitrary prior state, then restore
+    st2.set_state(ckpt)
+    y2b = st2.process(x[:, 11000:])
+    y3b = st2.flush(out_len)
+    assert np.array_equal(y2a, y2b)
+    assert np.array_equal(y3a, y3b)
+
+    ref = np.asarray(rs.oneshot(x, out_len))
+    assert full_a.shape == ref.shape
+    assert rms_db(full_a - ref) < -300.0
