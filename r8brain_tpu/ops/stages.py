@@ -324,9 +324,7 @@ class HBUpExec:
     def __init__(self, spec: HBUpStage, dtype=jnp.float32):
         self.spec = spec
         self.dtype = jnp.dtype(dtype)
-        t = np.asarray(spec.hb.taps, dtype=np.float64)
-        # odd[n] = sum_j h[j] x[n - (nt-1) + j],  h = reversed(taps) ++ taps
-        self.h = np.concatenate([t[::-1], t]).astype(dtype)
+        self.taps = np.asarray(spec.hb.taps, dtype=np.float64).astype(dtype)
         self.nt = spec.hb.num_taps
 
     def out_len(self, n_in: int) -> int:
@@ -340,9 +338,16 @@ class HBUpExec:
         nt, lat = self.nt, self.spec.out_latency
         x = x.astype(self.dtype)
         n_pairs = N - nt
-        xp = jnp.pad(x, ((0, 0), (nt, 0)))
-        full = _conv1d(xp, self.h[None, :])[:, 0, :]  # [C, N - nt + 1]
-        odd = full[:, 1 : 1 + n_pairs]
+        # symmetric shifted-add stencil (half the multiplies, the same
+        # exploitation of tap symmetry as the reference's genhbc kernels,
+        # CDSPHBUpsampler.inc:5-7); XLA fuses the nt slice-adds into one
+        # VPU pass — no convolution lowering involved
+        xp = jnp.pad(x, ((0, 0), (nt, 0)))  # xp[k] = x[k - nt]
+        odd = jnp.zeros((C, n_pairs), dtype=self.dtype)
+        for i in range(nt):
+            a = jax.lax.dynamic_slice_in_dim(xp, nt + 1 + i, n_pairs, 1)
+            b = jax.lax.dynamic_slice_in_dim(xp, nt - i, n_pairs, 1)
+            odd = odd + self.taps[i] * (a + b)
         even = x[:, :n_pairs]
         pre = jnp.stack([even, odd], axis=-1).reshape(C, 2 * n_pairs)
         return pre[:, lat : lat + M]
@@ -354,15 +359,8 @@ class HBDownExec:
     def __init__(self, spec: HBDownStage, dtype=jnp.float32):
         self.spec = spec
         self.dtype = jnp.dtype(dtype)
-        t = np.asarray(spec.hb.taps, dtype=np.float64)
-        nt = spec.hb.num_taps
-        d = np.zeros(4 * nt - 1, dtype=np.float64)
-        d[2 * nt - 1] = 1.0
-        for i in range(nt):
-            d[2 * nt - 1 + 1 + 2 * i] = t[i]
-            d[2 * nt - 1 - 1 - 2 * i] = t[i]
-        self.d = d.astype(dtype)
-        self.nt = nt
+        self.taps = np.asarray(spec.hb.taps, dtype=np.float64).astype(dtype)
+        self.nt = spec.hb.num_taps
 
     def out_len(self, n_in: int) -> int:
         return stage_out_len(self.spec, n_in)
@@ -375,10 +373,19 @@ class HBDownExec:
         nt, lat = self.nt, self.spec.out_latency
         n_avail = (N - 2 * nt) // 2 + 1
         x = x.astype(self.dtype)
-        # y_pre[n] = sum_j d[j] xp[2n + j], xp left-padded by 2nt-1
-        xp = jnp.pad(x, ((0, 0), (2 * nt - 1, 1)))
-        out = _conv1d(xp, self.d[None, :], stride=2)[:, 0, :]
-        return out[:, lat : lat + M]
+        # symmetric strided shifted-add (CDSPHBDownsampler.inc:5-7 form):
+        # y[n] = x[2n] + sum_i taps[i]*(x[2n+1+2i] + x[2n-1-2i])
+        xp = jnp.pad(x, ((0, 0), (2 * nt - 1, 2 * nt)))  # xp[k]=x[k-(2nt-1)]
+        cnt = n_avail
+
+        def sl(start):
+            return jax.lax.slice(xp, (0, start), (C, start + 2 * cnt), (1, 2))
+
+        y = sl(2 * nt - 1)  # centers x[2n]
+        for i in range(nt):
+            y = y + self.taps[i] * (sl(2 * nt + 2 * i)
+                                    + sl(2 * nt - 2 - 2 * i))
+        return y[:, lat : lat + M]
 
 
 class FracWholeExec:
