@@ -1,0 +1,79 @@
+/* masstest — randomized streaming through the native engine under
+ * sanitizers (bench/masstest.cpp:3-9 analog: the reference runs randomized
+ * workloads under Dr.Memory; here the binary is built with
+ * -fsanitize=address,undefined and exercised by tests/test_native.py).
+ *
+ * Usage: masstest <plan.blob> <n_samples> [seed]
+ * Streams n_samples of noise in random-sized chunks, clears and repeats
+ * once (state-reset coverage), prints a checksum.
+ */
+
+#include "r8bt.h"
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <vector>
+
+static uint64_t lcg(uint64_t &s) {
+    s = s * 6364136223846793005ULL + 1442695040888963407ULL;
+    return s;
+}
+
+int main(int argc, char **argv) {
+    if (argc < 3) {
+        std::fprintf(stderr, "usage: %s blob n [seed]\n", argv[0]);
+        return 2;
+    }
+    FILE *f = std::fopen(argv[1], "rb");
+    if (!f) {
+        std::perror("open blob");
+        return 2;
+    }
+    std::fseek(f, 0, SEEK_END);
+    long len = std::ftell(f);
+    std::fseek(f, 0, SEEK_SET);
+    std::vector<unsigned char> blob((size_t)len);
+    if (std::fread(blob.data(), 1, (size_t)len, f) != (size_t)len) {
+        std::fclose(f);
+        return 2;
+    }
+    std::fclose(f);
+
+    long n = std::atol(argv[2]);
+    uint64_t seed = argc > 3 ? (uint64_t)std::atoll(argv[3]) : 42;
+
+    r8bt_handle h = r8bt_create_from_blob(blob.data(), blob.size());
+    if (!h) {
+        std::fprintf(stderr, "blob rejected\n");
+        return 1;
+    }
+
+    double checksum = 0.0;
+    for (int pass = 0; pass < 2; ++pass) {
+        uint64_t s = seed + pass;
+        long fed = 0;
+        std::vector<double> chunk;
+        while (fed < n) {
+            long c = 1 + (long)(lcg(s) % 1024);
+            if (fed + c > n) c = n - fed;
+            chunk.resize((size_t)c);
+            for (long i = 0; i < c; ++i)
+                chunk[(size_t)i] =
+                    (double)(lcg(s) >> 11) / 4503599627370496.0 - 1.0;
+            double *out = nullptr;
+            long m = r8bt_process(h, chunk.data(), c, &out);
+            if (m < 0) {
+                std::fprintf(stderr, "process failed\n");
+                r8bt_delete(h);
+                return 1;
+            }
+            for (long i = 0; i < m; ++i) checksum += out[i] * 1e-6;
+            fed += c;
+        }
+        r8bt_clear(h);
+    }
+    r8bt_delete(h);
+    std::printf("checksum %.12g\n", checksum);
+    return 0;
+}

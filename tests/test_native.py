@@ -79,3 +79,27 @@ def test_native_streaming_chunks(native):
     m = min(len(y), len(ref))
     assert m > 9000
     assert rms_db(y[:m] - ref[:m]) < -280.0
+
+
+def test_native_masstest_asan(native, tmp_path):
+    """Randomized streaming under AddressSanitizer+UBSan — the reference's
+    Dr.Memory masstest methodology (bench/masstest.cpp:3-9)."""
+    import subprocess
+    from pathlib import Path
+
+    from r8brain_tpu.models.plan import make_plan
+    from r8brain_tpu.native import build_plan_blob
+
+    nat = Path(__file__).resolve().parent.parent / "native"
+    r = subprocess.run(["make", "-C", str(nat), "masstest_asan"],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    for label, src, dst in (("a", 44100, 96000), ("b", 96000, 44100),
+                            ("c", 44100, 96001)):
+        blob = build_plan_blob(make_plan(src, dst, 2.0, 140.0, 0))
+        p = tmp_path / f"{label}.blob"
+        p.write_bytes(blob)
+        r = subprocess.run([str(nat / "masstest_asan"), str(p), "20000"],
+                           capture_output=True, text=True)
+        assert r.returncode == 0, (label, r.stdout, r.stderr[-2000:])
+        assert "checksum" in r.stdout
