@@ -117,3 +117,22 @@ def test_stream_checkpoint_resume(cfg):
     ref = np.asarray(rs.oneshot(x, out_len))
     assert full_a.shape == ref.shape
     assert rms_db(full_a - ref) < -300.0
+
+
+def test_stream_high_precision():
+    """Streaming with the df32 high-precision convolver meets the golden
+    class vs the f64 oracle."""
+    from r8brain_tpu.models.oracle import OracleResampler
+
+    rs = Resampler(44100, 96000, 2.0, 180.15, 0, dtype="float32",
+                   precision="high")
+    st = StreamResampler(rs, block_len=4096)
+    n = 16000
+    x = lcg_uniform(21, n)
+    out_len = rs.default_out_len(n)
+    y = np.concatenate([st.process(x.astype(np.float32)),
+                        st.flush(out_len)])
+    orc = OracleResampler(44100, 96000, 4096, 2.0, 180.15, 0, plan=rs.plan)
+    ref = orc.oneshot(x, out_len)
+    assert y.shape == ref.shape
+    assert rms_db(y - ref) < -141.0
