@@ -29,7 +29,7 @@ tests/test_stream.py asserts equality for mixed chunk sizes.
 from __future__ import annotations
 
 import math
-from typing import List, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -9,23 +9,23 @@ pure array transforms that XLA tiles onto the VPU/MXU.
 
 Executor designs (reference counterpart -> TPU-native form):
 
-* ConvExec — CDSPBlockConvolver.h:252-354 overlap-save FFT convolution with
-  built-in integer up/down resampling.  Here: zero-stuff, frame into
-  batched overlap-save blocks ([C, n_frames, NFFT]), one batched rfft,
-  spectrum multiply against the host-designed kernel spectrum, irfft,
-  valid-part reshape, strided decimation slice.  In float32 mode the f64
-  kernel spectrum is applied as a hi+lo complex64 pair so kernel
-  representation error is O(eps^2).
-* HBUpExec / HBDownExec — CDSPHBUpsampler.inc / CDSPHBDownsampler.inc
-  sparse symmetric stencils.  Here: dense short correlations via
-  lax.conv_general_dilated (stride 2 for the decimator), even/odd lane
-  interleave; XLA maps these to MXU/VPU without the per-sample dispatch
-  tables (genhbc codegen) the reference needs.
+* ConvExec — CDSPBlockConvolver.h:252-354 convolution with built-in
+  integer up/down resampling.  Engines (measured on TPU v5e, 1024 ch):
+  "toeplitz" (f32 fast default) — the polyphase superkernel as a dense
+  matmul against a banded Toeplitz operator via segmented reshape-view
+  einsums (2552 Mrops full-chain); "fft" — batched overlap-save
+  rfft/irfft, the f64/CPU-parity path and, in precision="high", the df32
+  two-float FFT that guarantees the -141 dB class; "direct" — strided
+  conv_general_dilated (kept for reference: XLA:TPU lowers it as
+  shift-adds, 13x slower than even its FFT).
+* HBUpExec / HBDownExec — CDSPHBUpsampler/Downsampler sparse symmetric
+  stencils as tap-symmetric shifted slice-adds (the same symmetry the
+  reference's genhbc SIMD kernels exploit), fused by XLA into single VPU
+  passes.
 * FracWholeExec — CDSPFracInterpolator.h whole-stepping mode (:991-1060).
   The bank of out_step phase filters becomes a dense "superkernel" matrix
-  [out_step, D]: output n = m*out_step + j is a dot of phase row j with the
-  input window at stride in_step, so the whole stage is ONE strided
-  convolution lowered to an MXU matmul — no per-sample position updates.
+  [out_step, D]; engine "im2col" (default when windows barely overlap)
+  computes it as a framed matmul at stride in_step on the MXU.
 * FracPolyExec — polynomial mode (:1069-1179).  Read positions are
   data-independent; they are computed host-side in f64 (matching the
   reference's resettable-counter timing, :907-919) and passed as device
@@ -34,10 +34,6 @@ Executor designs (reference counterpart -> TPU-native form):
 """
 
 from __future__ import annotations
-
-import math
-from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -69,6 +65,35 @@ def _frames(xp: jnp.ndarray, n_blocks: int, hop: int, L_f: int
     chunks = xp.reshape(C, n_blocks + n_seg, hop)
     segs = [chunks[:, e : n_blocks + e, :] for e in range(n_seg)]
     return jnp.concatenate(segs, axis=-1)[:, :, :L_f]
+
+
+def _framed_matmul(xp: jnp.ndarray, T: jnp.ndarray, n_blocks: int, hop: int,
+                   precision=None) -> jnp.ndarray:
+    """out[c, b, k] = sum_l frames[c, b, l] * T[l, k] with
+    frames[c, b, l] = xp[c, b*hop + l], WITHOUT materializing the
+    overlapping frames: einsum(concat(segs), T) == sum_e einsum(seg_e,
+    T_rows_e), and each segment is a pure reshape view of xp — the
+    overlap-duplicated HBM round trip disappears."""
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
+    C = xp.shape[0]
+    L_f = T.shape[0]
+    n_seg = -(-L_f // hop)
+    total = (n_blocks + n_seg) * hop
+    pad = total - xp.shape[1]
+    if pad > 0:
+        xp = jnp.pad(xp, ((0, 0), (0, pad)))
+    else:
+        xp = xp[:, :total]
+    chunks = xp.reshape(C, n_blocks + n_seg, hop)
+    out = None
+    for e in range(n_seg):
+        w = min(hop, L_f - e * hop)
+        seg = chunks[:, e : n_blocks + e, :w]
+        Te = jax.lax.slice(T, (e * hop, 0), (e * hop + w, T.shape[1]))
+        o = jnp.einsum("cbl,lk->cbk", seg, Te, precision=precision)
+        out = o if out is None else out + o
+    return out
 
 
 def _conv1d(x: jnp.ndarray, kernel: jnp.ndarray, stride: int = 1,
@@ -203,30 +228,40 @@ class ConvExec:
         # keep the flop waste (B*down/D) bounded while B stays MXU-friendly
         while B * down > 2 * D and B > 128:
             B //= 2
-        L_f = (B - 1) * down + D
         sk64 = self.sk_direct.astype(np.float64) if self.dtype != jnp.float64 \
             else self.sk_direct
-        T = np.zeros((L_f, B * up), dtype=np.float64)
-        for t in range(B):
-            for j in range(up):
-                T[t * down : t * down + D, t * up + j] = sk64[j]
-        self.T_toep = T.astype(self.dtype)
+        # single full-band operator: chunking the tap dimension (fewer
+        # MACs: (D + G*B*down)/up vs (B*down + D)/up) was measured SLOWER
+        # on TPU v5e (18.2 vs 14.3 ms/iter at 1024 ch) — several smaller
+        # matmuls lose more to scheduling than the band zeros cost
+        step = D
+        self.toep_chunks = []
+        for d0 in range(0, D, step):
+            dc = min(step, D - d0)
+            L_f = (B - 1) * down + dc
+            T = np.zeros((L_f, B * up), dtype=np.float64)
+            for t in range(B):
+                for j in range(up):
+                    T[t * down : t * down + dc, t * up + j] = \
+                        sk64[j, d0 : d0 + dc]
+            self.toep_chunks.append((d0, T.astype(self.dtype)))
         self.B_toep = B
-        self.Lf_toep = L_f
 
     def _apply_toeplitz(self, x: jnp.ndarray, M: int) -> jnp.ndarray:
         spec = self.spec
         C, N = x.shape
         up, down = spec.up, spec.down
-        B, L_f = self.B_toep, self.Lf_toep
+        B = self.B_toep
         n_cyc = -(-M // up)
         n_blocks = -(-n_cyc // B)
         pad_l = max(0, -self.s_min)
         xp = jnp.pad(x.astype(self.dtype), ((0, 0), (pad_l, 0)))
         xp = xp[:, self.s_min + pad_l :]
-        frames = _frames(xp, n_blocks, B * down, L_f)
-        out = jnp.einsum("cbl,lk->cbk", frames, jnp.asarray(self.T_toep),
-                         precision=jax.lax.Precision.HIGHEST)
+        out = None
+        for d0, T in self.toep_chunks:
+            o = _framed_matmul(xp[:, d0:], jnp.asarray(T), n_blocks,
+                               B * down)
+            out = o if out is None else out + o
         y = out.reshape(C, n_blocks * B * up)
         return y[:, :M]
 
@@ -457,15 +492,11 @@ class FracWholeExec:
         start = self.a0 + self.pad_l
         xp = xp[:, start:]
         if self.engine == "im2col":
-            patches = _frames(xp, n_cyc, I, self.D)  # [C, n_cyc, D]
             skT = jnp.asarray(self.sk.T)  # [D, O]
-            out = jnp.einsum("cnd,dk->cnk", patches, skT,
-                             precision=jax.lax.Precision.HIGHEST)
+            out = _framed_matmul(xp, skT, n_cyc, I)
             if self.precision == "high":
-                lo = jnp.einsum("cnd,dk->cnk", patches,
-                                jnp.asarray(self.sk_lo.T),
-                                precision=jax.lax.Precision.HIGHEST)
-                out = out + lo
+                out = out + _framed_matmul(xp, jnp.asarray(self.sk_lo.T),
+                                           n_cyc, I)
             y = out.reshape(C, n_cyc * O)
             return y[:, :M]
         if self.precision == "high":

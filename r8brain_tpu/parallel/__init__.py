@@ -1,0 +1,3 @@
+"""Multi-device sharded execution (channels x time-blocks over a Mesh)."""
+
+from .sharding import ShardedResampler, chain_input_span, chain_shift_period

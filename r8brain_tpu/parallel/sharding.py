@@ -42,7 +42,7 @@ try:
     from jax import shard_map
 except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models.lengths import chain_in_for_out, chain_out_len
 from ..models.plan import ConvStage, FracStage, HBDownStage, HBUpStage, Plan

@@ -1,0 +1,1 @@
+"""Host-side analysis utilities (FIR response, scanners, math, tracing)."""
