@@ -72,6 +72,11 @@ def main():
     dt = (t_many - t_one) / iters  # pure per-iteration device time
     assert np.isfinite(acc)
 
+    prof_dir = os.environ.get("R8B_BENCH_PROFILE")
+    if prof_dir:
+        with jax.profiler.trace(prof_dir):
+            float(run(xs[0], xs[1], 2))
+
     mrops = 1e-6 * channels * n_in / dt
     print(json.dumps({
         "metric": "resample_44k_to_96k_24bit_throughput"

@@ -32,22 +32,32 @@ __all__ = ["HAVE_PALLAS", "frac_whole_pallas"]
 
 def _make_kernel(Q: int, I: int, D: int, O: int, CT: int):
     span = (Q - 1) * I + D
+    # Mosaic requires HBM DMA slices 128-aligned in the minor dim: copy an
+    # aligned superset and index the residual offset inside VMEM.
+    S = -(-(span + 127) // 128) * 128
 
     def kernel(x_hbm, sk_ref, o_ref, xwin, sem):
         c = pl.program_id(0)
         b = pl.program_id(1)
+        start = b * (Q * I)
+        start_al = (start // 128) * 128
+        off = start - start_al
         cp = pltpu.make_async_copy(
-            x_hbm.at[pl.ds(c * CT, CT), pl.ds(b * Q * I, span)],
+            x_hbm.at[pl.ds(c * CT, CT), pl.ds(pl.multiple_of(start_al, 128),
+                                              S)],
             xwin, sem)
         cp.start()
         cp.wait()
         sk = sk_ref[:]
         for q in range(Q):
-            w = xwin[:, q * I : q * I + D]
+            w = xwin[:, pl.ds(off + q * I, D)]
+            # HIGHEST: 6-pass bf16 decomposition == f32 accuracy; the MXU
+            # default single pass is bf16-only (~2e-3 relative error)
             o_ref[:, q * O : (q + 1) * O] = jnp.dot(
-                w, sk, preferred_element_type=jnp.float32)
+                w, sk, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
 
-    return kernel, span
+    return kernel, span, S
 
 
 @functools.partial(jax.jit, static_argnames=("Q", "I", "D", "O", "CT",
@@ -61,9 +71,13 @@ def frac_whole_pallas(xp: jnp.ndarray, skT: jnp.ndarray, Q: int, I: int,
     """
     C, L = xp.shape
     assert C % CT == 0, (C, CT)
-    kernel, span = _make_kernel(Q, I, D, O, CT)
+    kernel, span, S = _make_kernel(Q, I, D, O, CT)
     n_blocks = (L - span) // (Q * I) + 1
     assert n_blocks >= 1
+    # every cell's aligned DMA superset must stay in bounds
+    need = ((n_blocks - 1) * Q * I // 128) * 128 + S
+    if L < need:
+        xp = jnp.pad(xp, ((0, 0), (0, need - L)))
     grid = (C // CT, n_blocks)
     return pl.pallas_call(
         kernel,
@@ -75,7 +89,7 @@ def frac_whole_pallas(xp: jnp.ndarray, skT: jnp.ndarray, Q: int, I: int,
         ],
         out_specs=pl.BlockSpec((CT, Q * O), lambda c, b: (c, b)),
         scratch_shapes=[
-            pltpu.VMEM((CT, span), jnp.float32),
+            pltpu.VMEM((CT, S), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

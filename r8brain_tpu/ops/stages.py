@@ -247,6 +247,48 @@ class ConvExec:
             self.toep_chunks.append((d0, T.astype(self.dtype)))
         self.B_toep = B
 
+    def _build_pallas(self, B: int = 64):
+        """Mini-Toeplitz for the fused Pallas kernel: with the window
+        resident in VMEM, a small block B costs no extra HBM traffic, so
+        the band waste drops to (B*down + D)/D ~ 1.1x (B=64) instead of
+        the ~1.7x the XLA path needs to amortize frame duplication.
+        MACs/output: (B*down + D)/(B*up) * B = (B*down + D)/up."""
+        spec = self.spec
+        up, down = spec.up, spec.down
+        D = self.D_direct
+        sk64 = self.sk_direct.astype(np.float64)
+        L_f = (B - 1) * down + D
+        T = np.zeros((L_f, B * up), dtype=np.float64)
+        for t in range(B):
+            for j in range(up):
+                T[t * down : t * down + D, t * up + j] = sk64[j]
+        self.T_pallas = T.astype(np.float32)
+        self.B_pallas = B
+        self.Lf_pallas = L_f
+
+    def _apply_pallas(self, x: jnp.ndarray, M: int) -> jnp.ndarray:
+        from .pallas_frac import frac_whole_pallas
+        spec = self.spec
+        C, N = x.shape
+        up, down = spec.up, spec.down
+        B, L_f = self.B_pallas, self.Lf_pallas
+        CT = 128 if C % 128 == 0 else (8 if C % 8 == 0 else 0)
+        if CT == 0:
+            return self._apply_toeplitz(x, M)
+        Q = 8
+        n_cyc = -(-M // up)
+        n_grp = -(-n_cyc // B)
+        n_blocks = -(-n_grp // Q)
+        pad_l = max(0, -self.s_min)
+        xp = jnp.pad(x.astype(self.dtype), ((0, 0), (pad_l, 0)))
+        xp = xp[:, self.s_min + pad_l :]
+        span_need = (n_blocks * Q - 1) * B * down + L_f
+        if xp.shape[1] < span_need:
+            xp = jnp.pad(xp, ((0, 0), (0, span_need - xp.shape[1])))
+        y = frac_whole_pallas(xp, jnp.asarray(self.T_pallas), Q, B * down,
+                              L_f, B * up, CT=CT)
+        return y[:, :M]
+
     def _apply_toeplitz(self, x: jnp.ndarray, M: int) -> jnp.ndarray:
         spec = self.spec
         C, N = x.shape
@@ -491,7 +533,20 @@ class FracWholeExec:
         xp = jnp.pad(x, ((0, 0), (self.pad_l, pad_r)))
         start = self.a0 + self.pad_l
         xp = xp[:, start:]
-        if self.engine == "im2col":
+        if self.engine == "pallas":
+            from .pallas_frac import frac_whole_pallas
+            Q = 8
+            CT = 128 if C % 128 == 0 else (8 if C % 8 == 0 else 0)
+            if CT:
+                n_blocks = -(-n_cyc // Q)
+                span_need = (n_blocks * Q - 1) * I + self.D
+                if xp.shape[1] < span_need:
+                    xp = jnp.pad(xp, ((0, 0), (0, span_need - xp.shape[1])))
+                y = frac_whole_pallas(xp, jnp.asarray(self.sk.T), Q, I,
+                                      self.D, O, CT=CT)
+                return y[:, :M]
+            # fall through to im2col when channels don't tile
+        if self.engine in ("im2col", "pallas"):
             skT = jnp.asarray(self.sk.T)  # [D, O]
             out = _framed_matmul(xp, skT, n_cyc, I)
             if self.precision == "high":
