@@ -244,7 +244,14 @@ class ConvExec:
                 for j in range(up):
                     T[t * down : t * down + dc, t * up + j] = \
                         sk64[j, d0 : d0 + dc]
-            self.toep_chunks.append((d0, T.astype(self.dtype)))
+            Thi = T.astype(self.dtype)
+            Tlo = None
+            if self.precision == "high":
+                # kernel-representation residual: one extra matmul pass
+                # makes the operator effectively f64-accurate; the
+                # remaining error is the backend's f32 accumulation
+                Tlo = (T - Thi.astype(np.float64)).astype(self.dtype)
+            self.toep_chunks.append((d0, Thi, Tlo))
         self.B_toep = B
 
     def _build_pallas(self, B: int = 64):
@@ -300,9 +307,12 @@ class ConvExec:
         xp = jnp.pad(x.astype(self.dtype), ((0, 0), (pad_l, 0)))
         xp = xp[:, self.s_min + pad_l :]
         out = None
-        for d0, T in self.toep_chunks:
+        for d0, T, Tlo in self.toep_chunks:
             o = _framed_matmul(xp[:, d0:], jnp.asarray(T), n_blocks,
                                B * down)
+            if Tlo is not None:
+                o = o + _framed_matmul(xp[:, d0:], jnp.asarray(Tlo),
+                                       n_blocks, B * down)
             out = o if out is None else out + o
         y = out.reshape(C, n_blocks * B * up)
         return y[:, :M]
