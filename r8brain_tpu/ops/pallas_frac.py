@@ -35,13 +35,13 @@ def _make_kernel(Q: int, I: int, D: int, O: int, CT: int):
     # Mosaic requires HBM DMA slices 128-aligned in the minor dim: copy an
     # aligned superset and index the residual offset inside VMEM.
     S = -(-(span + 127) // 128) * 128
+    aligned = (Q * I) % 128 == 0  # per-cell start is always 128-aligned
 
     def kernel(x_hbm, sk_ref, o_ref, xwin, sem):
         c = pl.program_id(0)
         b = pl.program_id(1)
         start = b * (Q * I)
         start_al = (start // 128) * 128
-        off = start - start_al
         cp = pltpu.make_async_copy(
             x_hbm.at[pl.ds(c * CT, CT), pl.ds(pl.multiple_of(start_al, 128),
                                               S)],
@@ -49,8 +49,13 @@ def _make_kernel(Q: int, I: int, D: int, O: int, CT: int):
         cp.start()
         cp.wait()
         sk = sk_ref[:]
+        off = None if aligned else start - start_al
         for q in range(Q):
-            w = xwin[:, pl.ds(off + q * I, D)]
+            # static window starts when the cell stride is 128-aligned
+            # (Mosaic relayouts static unaligned slices; dynamic unaligned
+            # vector loads are rejected)
+            w = (xwin[:, q * I : q * I + D] if aligned
+                 else xwin[:, pl.ds(off + q * I, D)])
             # HIGHEST: 6-pass bf16 decomposition == f32 accuracy; the MXU
             # default single pass is bf16-only (~2e-3 relative error)
             o_ref[:, q * O : (q + 1) * O] = jnp.dot(
