@@ -68,6 +68,17 @@ class Resampler:
     def default_out_len(self, n_in: int) -> int:
         return int(math.floor(n_in * self.plan.dst_rate / self.plan.src_rate))
 
+    def get_input_required_for_output(self, req_out: int) -> int:
+        """Minimal input count yielding >= req_out outputs
+        (getInputRequiredForOutput, CDSPResampler.h:476-484)."""
+        return chain_in_for_out(self.plan.stages, req_out) if req_out > 0 \
+            else 0
+
+    def get_in_len_before_out_pos(self, req_out_pos: int) -> int:
+        """Input samples required to advance past output position
+        ``req_out_pos`` (CDSPResampler.h:406-419)."""
+        return self.get_input_required_for_output(req_out_pos + 1) - 1
+
     def oneshot(self, x, out_len: Optional[int] = None) -> jnp.ndarray:
         """Offline conversion with zero-flush.  x: [C, N] or [N]."""
         x = jnp.asarray(x, dtype=self.dtype)

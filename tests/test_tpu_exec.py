@@ -144,3 +144,15 @@ def test_passthrough():
     x = np.random.default_rng(0).standard_normal((3, 100))
     y = np.asarray(rs.oneshot(x))
     np.testing.assert_allclose(y, x.astype(np.float32))
+
+
+def test_resampler_latency_queries_match_oracle():
+    for src, dst in ((44100, 96000), (96000, 44100), (44100, 96001)):
+        orc = OracleResampler(src, dst, 4096, 2.0, 160.0, 0)
+        rs = Resampler(src, dst, 2.0, 160.0, 0, dtype="float64",
+                       plan=orc.plan)
+        for m in (1, 17, 500, 4000):
+            assert (rs.get_input_required_for_output(m)
+                    == orc.get_input_required_for_output(m))
+        assert (rs.get_in_len_before_out_pos(100)
+                == orc.get_in_len_before_out_pos(100))
