@@ -187,7 +187,11 @@ class HBDownStage : public Stage {
     std::vector<double> taps;
 
     long availOut() const override {
-        long v = (nIn - 2 * nt) / 2 + 1 - outLat;
+        long d = nIn - 2 * nt;
+        if (d < 0) return 0;  /* C++ '/' truncates toward zero; the
+                                 emission algebra (models/lengths.py) uses
+                                 floor division */
+        long v = d / 2 + 1 - outLat;
         return v > 0 ? v : 0;
     }
     long inForOut(long m) const override {

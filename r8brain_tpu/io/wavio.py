@@ -121,10 +121,18 @@ def write_wav(path: str, rate: int, data: np.ndarray, bits: int = 24,
             raise ValueError(f"unsupported PCM depth {bits}")
     ba = ch * bits // 8
     fmt = struct.pack("<HHIIHH", tag, ch, rate, rate * ba, ba, bits)
-    size = 4 + 8 + len(fmt) + 8 + len(payload)
+    chunks = []
+    if tag == _WAVE_FORMAT_IEEE_FLOAT:
+        # non-PCM WAVE requires the cbSize extension field and a fact chunk
+        fmt += struct.pack("<H", 0)
+        chunks.append((b"fact", struct.pack("<I", n)))
+    chunks.insert(0, (b"fmt ", fmt))
+    chunks.append((b"data", payload))
+    size = 4 + sum(8 + len(c) + (len(c) & 1) for _, c in chunks)
     with open(path, "wb") as f:
         f.write(struct.pack("<4sI4s", b"RIFF", size, b"WAVE"))
-        f.write(struct.pack("<4sI", b"fmt ", len(fmt)))
-        f.write(fmt)
-        f.write(struct.pack("<4sI", b"data", len(payload)))
-        f.write(payload)
+        for cid, c in chunks:
+            f.write(struct.pack("<4sI", cid, len(c)))
+            f.write(c)
+            if len(c) & 1:  # RIFF chunks are word-aligned
+                f.write(b"\x00")

@@ -62,6 +62,16 @@ class _PeriodStream:
         # constant for period-aligned n past warmup
         n0 = _round_up(H + L + span, p_in)
         lat_o = n0 * p_out // p_in - chain_out_len(stages, n0)
+        # the first block must complete the chain warmup: its emission
+        # count must already be on the steady-state line, else the steady
+        # slice would mis-place every subsequent block (silently shifted
+        # output for too-small block_len)
+        guard = 0
+        while (chain_out_len(stages, L) != L * p_out // p_in - lat_o
+               or chain_out_len(stages, L) <= 0):
+            L += _round_up(max(p_in, span), p_in)
+            guard += 1
+            assert guard < 64, "cannot reach steady state; plan too deep"
         W0 = H * p_out // p_in - lat_o
         while W0 < 0:
             H += _round_up(-W0 * p_in // p_out + p_in, p_in)
@@ -107,8 +117,7 @@ class _PeriodStream:
 class _PolyTailStream:
     """Streaming final-stage polynomial interpolator with host-side timing."""
 
-    def __init__(self, spec: FracStage, dtype, in_per_block: int,
-                 first_in: int):
+    def __init__(self, spec: FracStage, dtype):
         self.spec = spec
         self.exec = FracPolyExec(spec, dtype)
         self.dtype = dtype
@@ -116,9 +125,6 @@ class _PolyTailStream:
         self.fll = fl // 2 - 1
         r = spec.src_rate / spec.dst_rate
         self.H = fl + int(math.ceil(r)) + 8
-        self.caps = {}
-        self.in_per_block = in_per_block
-        self.first_in = first_in
         self._jits = {}
         self.reset()
 
@@ -249,10 +255,7 @@ class StreamResampler:
                                    chain_input_span(_subplan(prefix))) \
             if prefix else None
         self.block = self._core.L if prefix else _round_up(block_len, 1)
-        first_in = chain_out_len(prefix, self.block)
-        self._tail = _PolyTailStream(
-            stages[pi], rs.dtype,
-            self._core.out_per_block if prefix else self.block, first_in)
+        self._tail = _PolyTailStream(stages[pi], rs.dtype)
         self._suf = None
         self._suf_pending = None
         if suffix:

@@ -145,10 +145,12 @@ class ConvExec:
         self.engine = engine
         k = np.asarray(spec.filt.kernel, dtype=np.float64)
         self.K = k.shape[0]
-        if engine in ("direct", "toeplitz"):
+        if engine in ("direct", "toeplitz", "pallas"):
             self._build_direct(k)
             if engine == "toeplitz":
                 self._build_toeplitz()
+            elif engine == "pallas":
+                self._build_pallas()
             return
         P = self.K - 1
         nfft = max(128, _next_pow2(max(1, P)) << ext)
@@ -279,10 +281,14 @@ class ConvExec:
         C, N = x.shape
         up, down = spec.up, spec.down
         B, L_f = self.B_pallas, self.Lf_pallas
-        CT = 128 if C % 128 == 0 else (8 if C % 8 == 0 else 0)
-        if CT == 0:
-            return self._apply_toeplitz(x, M)
         Q = 8
+        CT = 128 if C % 128 == 0 else (8 if C % 8 == 0 else 0)
+        if (B * down * Q) % 128 != 0:
+            CT = 0  # Mosaic: unaligned cell stride unsupported on hardware
+        if CT == 0:
+            if not hasattr(self, "toep_chunks"):
+                self._build_toeplitz()
+            return self._apply_toeplitz(x, M)
         n_cyc = -(-M // up)
         n_grp = -(-n_cyc // B)
         n_blocks = -(-n_grp // Q)
@@ -365,6 +371,8 @@ class ConvExec:
             return jnp.zeros((C, 0), dtype=self.dtype)
         if self.engine == "toeplitz":
             return self._apply_toeplitz(x, M)
+        if self.engine == "pallas":
+            return self._apply_pallas(x, M)
         if self.engine == "direct":
             return self._apply_direct(x, M)
         up, down, off = spec.up, spec.down, spec.offset
@@ -547,6 +555,10 @@ class FracWholeExec:
             from .pallas_frac import frac_whole_pallas
             Q = 8
             CT = 128 if C % 128 == 0 else (8 if C % 8 == 0 else 0)
+            if (Q * I) % 128 != 0:
+                # Mosaic rejects dynamic unaligned VMEM vector loads; the
+                # unaligned-stride case only works in interpreter mode
+                CT = 0
             if CT:
                 n_blocks = -(-n_cyc // Q)
                 span_need = (n_blocks * Q - 1) * I + self.D

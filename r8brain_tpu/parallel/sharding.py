@@ -122,6 +122,7 @@ class ShardedResampler:
                 "ratio) plan; this plan uses the polynomial interpolator — "
                 "use channel sharding only")
         self.span = chain_input_span(rs.plan)
+        self._jit_cache = {}
 
     # -- geometry --------------------------------------------------------
 
@@ -210,10 +211,15 @@ class ShardedResampler:
         from ..utils.trace import trace
         trace("sharded_oneshot", n_ch=self.n_ch, n_t=self.n_t,
               M_s=M_s, L_s=L_s, halo_left=H, warmup=W, halo_right=R)
-        spec_in = P(self.ch_axis, self.t_axis)
-        spec_out = P(self.ch_axis, self.t_axis)
-        local = self._build_local(M_s, L_s, H, W, R)
-        fn = shard_map(local, mesh=self.mesh, in_specs=(spec_in,),
-                       out_specs=spec_out, check_vma=False)
-        y = jax.jit(fn)(x)
+        key = (M_s, L_s, H, W, R)
+        jfn = self._jit_cache.get(key)
+        if jfn is None:
+            spec_in = P(self.ch_axis, self.t_axis)
+            spec_out = P(self.ch_axis, self.t_axis)
+            local = self._build_local(M_s, L_s, H, W, R)
+            jfn = jax.jit(shard_map(local, mesh=self.mesh,
+                                    in_specs=(spec_in,),
+                                    out_specs=spec_out, check_vma=False))
+            self._jit_cache[key] = jfn
+        y = jfn(x)
         return y[:C, :out_len]

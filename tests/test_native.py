@@ -103,3 +103,26 @@ def test_native_masstest_asan(native, tmp_path):
                            capture_output=True, text=True)
         assert r.returncode == 0, (label, r.stdout, r.stderr[-2000:])
         assert "checksum" in r.stdout
+
+
+def test_native_hbdown_chunk_boundary(native):
+    """Regression: C++ truncation-toward-zero in HBDownStage::availOut made
+    the engine emit one output before its inputs existed when a chunk
+    boundary landed at n_in = 2*nt - 1 (code-review finding)."""
+    from r8brain_tpu.models.oracle import OracleResampler
+
+    nr = native(176400, 44100, 2.0, 140.0, 0)
+    orc = OracleResampler(176400, 44100, 4096, 2.0, 140.0, 0, plan=nr.plan)
+    from r8brain_tpu.models.plan import HBDownStage
+
+    nts = [s.hb.num_taps for s in nr.plan.stages
+           if isinstance(s, HBDownStage)]
+    assert nts, "plan must contain an hb_down stage"
+    n = 20000
+    x = lcg_uniform(4, n)
+    for nt in nts:
+        cut = 2 * nt - 1
+        nr.clear()
+        y = np.concatenate([nr.process(x[:cut]), nr.process(x[cut:])])
+        ref = orc.oneshot(x, len(y))
+        assert rms_db(y - ref[: len(y)]) < -280.0, (nt, cut)

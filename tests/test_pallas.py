@@ -1,0 +1,87 @@
+"""Pallas fused-kernel coverage (interpreter mode on CPU).
+
+The kernel itself compiles and runs on real TPU hardware only for
+128-aligned cell strides (Mosaic rejects dynamic unaligned VMEM loads);
+these tests pin both the aligned and unaligned math in interpreter mode and
+the engine-selection fallbacks.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from r8brain_tpu.ops import pallas_frac
+from r8brain_tpu.ops.pallas_frac import HAVE_PALLAS, frac_whole_pallas
+from r8brain_tpu.ops.stages import ConvExec, FracWholeExec
+from r8brain_tpu.models.oracle import OracleResampler
+
+from .helpers import lcg_uniform, rms_db
+
+pytestmark = pytest.mark.skipif(not HAVE_PALLAS, reason="no pallas")
+
+
+@pytest.mark.parametrize("shape", [("aligned", 8, 64, 772, 128),
+                                   ("unaligned", 8, 147, 171, 160)],
+                         ids=["aligned", "unaligned"])
+def test_kernel_matches_reference(shape):
+    label, Q, I, D, O = shape
+    rng = np.random.default_rng(0)
+    C = 128
+    n_blocks = 4
+    L = (n_blocks * Q - 1) * I + D
+    xp = jnp.asarray(rng.standard_normal((C, L)), dtype=jnp.float32)
+    skT = jnp.asarray(rng.standard_normal((D, O)), dtype=jnp.float32)
+    y = frac_whole_pallas(xp, skT, Q, I, D, O, CT=128, interpret=True)
+    xr = np.asarray(xp, np.float64)
+    sr = np.asarray(skT, np.float64)
+    M = n_blocks * Q
+    ref = np.concatenate([xr[:, m * I : m * I + D] @ sr for m in range(M)],
+                         axis=1)
+    err = np.abs(np.asarray(y, np.float64) - ref).max() / np.abs(ref).max()
+    assert err < 1e-5, (label, err)
+
+
+@pytest.fixture()
+def _interpret_pallas(monkeypatch):
+    orig = pallas_frac.frac_whole_pallas
+
+    def patched(xp, skT, Q, I, D, O, CT=128, interpret=False):
+        return orig(xp, skT, Q, I, D, O, CT=CT, interpret=True)
+
+    monkeypatch.setattr(pallas_frac, "frac_whole_pallas", patched)
+
+
+def test_conv_engine_pallas(_interpret_pallas):
+    """ConvExec(engine='pallas'): aligned mini-Toeplitz path, exact vs the
+    oracle stage."""
+    orc = OracleResampler(44100, 96000, 4096, 2.0, 160.0, 0)
+    spec = orc.plan.stages[0]
+    oc = orc.stages[0]
+    x = lcg_uniform(5, 9000)
+    ref = np.concatenate([oc.process(x), oc.process(np.zeros(2000))])
+    ex = ConvExec(spec, jnp.float32, engine="pallas")
+    x8 = np.stack([x * (1 + 0.01 * i) for i in range(8)]).astype(np.float32)
+    y = np.asarray(ex.apply(jnp.asarray(np.pad(x8, ((0, 0), (0, 2000))))),
+                   np.float64)
+    m = min(y.shape[1], len(ref))
+    d = rms_db(y[0][:m] - ref[:m])
+    assert d < -120.0, d
+
+
+def test_frac_engine_pallas_falls_back_unaligned():
+    """FracWholeExec(engine='pallas') with an unaligned stride must fall
+    back to the im2col engine (hardware-safe) and stay exact."""
+    orc = OracleResampler(44100, 96000, 4096, 2.0, 160.0, 0)
+    spec = orc.plan.stages[1]  # in_step 147: unaligned
+    of = orc.stages[1]
+    x = lcg_uniform(8, 9000)
+    ref = np.concatenate([of.process(x), of.process(np.zeros(2000))])
+    ex = FracWholeExec(spec, jnp.float32, engine="pallas")
+    x8 = np.stack([x * (1 + 0.01 * i) for i in range(8)]).astype(np.float32)
+    y = np.asarray(ex.apply(jnp.asarray(np.pad(x8, ((0, 0), (0, 2000))))),
+                   np.float64)
+    m = min(y.shape[1], len(ref))
+    d = rms_db(y[0][:m] - ref[:m])
+    assert d < -120.0, d

@@ -136,3 +136,17 @@ def test_stream_high_precision():
     ref = orc.oneshot(x, out_len)
     assert y.shape == ref.shape
     assert rms_db(y - ref) < -141.0
+
+
+def test_stream_tiny_block_len():
+    """Regression: block_len smaller than the chain warmup must be grown,
+    not silently emit shifted output (code-review finding)."""
+    rs = Resampler(44100, 96000, 2.0, 180.15, 0, dtype="float64")
+    st = StreamResampler(rs, block_len=256)
+    n = 20000
+    x = lcg_uniform(13, n)[None]
+    out_len = rs.default_out_len(n)
+    y = np.concatenate([st.process(x), st.flush(out_len)], axis=1)
+    ref = np.asarray(rs.oneshot(x, out_len))
+    assert y.shape == ref.shape
+    assert rms_db(y - ref) < -300.0
