@@ -1,0 +1,83 @@
+"""Full round-trip zeroing sweep (bench/zerotest.cpp:34-169 equivalent).
+
+Sweeps the reference's 620 integer ratios k/20 for k = 21..640 with
+randomized transition band, resampling up then back down and measuring the
+band-limited RMS difference against the input (insensitive to
+transition-band loss, zerotest.cpp:62-84).  Also cross-checks the
+closed-form latency query against streaming emission at every ratio
+(zerotest.cpp:115-128).
+
+The pytest suite runs a 20-ratio subset (tests/test_quality.py); this tool
+is the full acceptance sweep.
+
+Usage: python tools/zerotest.py [--quick] [--atten 160] [--n 12000]
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="every 10th ratio only")
+    ap.add_argument("--atten", type=float, default=160.0)
+    ap.add_argument("--n", type=int, default=12000)
+    args = ap.parse_args(argv)
+
+    from r8brain_tpu.models.oracle import OracleResampler
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
+    from helpers import lcg_uniform  # noqa: E402
+
+    def band_limited_rms_db(y, x, frac=0.9, skip=1000):
+        n = min(len(x), len(y)) - 2 * skip
+        d = y[skip : skip + n] - x[skip : skip + n]
+        D = np.fft.rfft(d * np.hanning(n))
+        k = int(frac * len(D))
+        num = np.sqrt(np.mean(np.abs(D[:k]) ** 2) / (n / 4))
+        return 20 * np.log10(num / np.sqrt(n) + 1e-300)
+
+    rng = np.random.default_rng(1)
+    ks = range(21, 641, 10 if args.quick else 1)
+    worst = -1e30
+    worst_k = None
+    fails = 0
+    t0 = time.time()
+    for i, k in enumerate(ks):
+        src = 44100.0
+        dst = src * k / 20.0
+        tb = 0.5 + 4.5 * rng.random()
+        x = lcg_uniform(k, args.n)
+        up = OracleResampler(src, dst, 2048, tb, args.atten, 0)
+        dn = OracleResampler(dst, src, 2048, tb, args.atten, 0)
+        # latency-query consistency
+        need = up.get_input_required_for_output(100)
+        up.clear()
+        got = up.process(x[:need]).shape[0]
+        assert got >= 100, (k, need, got)
+        up.clear()
+        mid = up.oneshot(x, int(np.floor(args.n * dst / src)))
+        y = dn.oneshot(mid, args.n)
+        d = band_limited_rms_db(y, x)
+        if d > worst:
+            worst, worst_k = d, k
+        if d > -(args.atten - 25.0):
+            fails += 1
+            print(f"  FAIL k={k} tb={tb:.2f}: {d:.1f} dB")
+    dt = time.time() - t0
+    n_ratios = len(list(ks))
+    print(f"{n_ratios} ratios in {dt:.0f}s; worst {worst:.1f} dB at "
+          f"k={worst_k} (threshold {-(args.atten - 25.0):.0f} dB); "
+          f"{fails} failures")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
