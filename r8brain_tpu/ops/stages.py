@@ -118,16 +118,20 @@ class ConvExec:
         u = zero-stuffed input, w = kernel (*) u (causal),
         y[r] = w[r*down + offset],  r in [0, M).
 
-    Engines:
-      * "direct" (default on the f32 fast path): polyphase MXU matmul.
-        For outputs r = m*up + j the kernel indices t_j*down+off - s*up are
-        independent of m, so the whole stage is ONE strided convolution
-        with `up` output features over windows x[m*down + s] — XLA lowers
-        it onto the MXU.  ~K/up MACs per output (optimal polyphase); far
-        faster on TPU than XLA's FFT, which runs at a fraction of VPU peak.
-      * "fft": batched overlap-save rfft/irfft (the reference's execution
-        model, CDSPBlockConvolver.h:252-354); used for float64 (CPU oracle
-        parity) and as the basis of the df32 high-precision path.
+    Engines (auto: f32 fast -> toeplitz; else fft):
+      * "toeplitz" — the polyphase superkernel SK[j, d] (for outputs
+        r = m*up + j the kernel indices are independent of m) as a dense
+        matmul against a banded Toeplitz operator via segmented
+        reshape-view einsums; guaranteed MXU lowering.  precision="high"
+        adds a kernel-residual matmul pass.
+      * "fft" — batched overlap-save rfft/irfft (the reference's execution
+        model, CDSPBlockConvolver.h:252-354); float64/CPU-parity path and,
+        with precision="high", the df32 two-float FFT (-141 dB class on
+        any backend).
+      * "pallas" — fused mini-Toeplitz kernel (ops/pallas_frac.py); only
+        when the cell stride is 128-aligned, else falls back to toeplitz.
+      * "direct" — strided conv_general_dilated; kept for comparison (XLA
+        TPU lowers long 1D convs as shift-adds, far slower).
     """
 
     def __init__(self, spec: ConvStage, dtype=jnp.float32, ext: int = 2,
