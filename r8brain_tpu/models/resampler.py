@@ -54,6 +54,18 @@ class Resampler:
     def latency_frac(self) -> float:
         return self.plan.latency_frac
 
+    @property
+    def latency(self) -> int:
+        """Always 0: like the reference front-end (CDSPResampler.h:430-436),
+        whole-sample latency is consumed inside the chain; only the
+        fractional remainder (latency_frac) is reported."""
+        return 0
+
+    def clear(self) -> None:
+        """No-op: the whole-array executor is stateless between oneshot
+        calls (CDSPResampler::clear resets stream buffers; streaming state
+        lives in StreamResampler, which has its own clear())."""
+
     def _chain(self, x: jnp.ndarray) -> jnp.ndarray:
         for e in self.execs:
             x = e.apply(x)
