@@ -34,11 +34,16 @@ class Resampler:
     def __init__(self, src_rate: float, dst_rate: float,
                  trans_band: float = 2.0, atten: float = 206.91,
                  phase: int = 0, dtype=jnp.float32,
-                 plan: Optional[Plan] = None, precision: str = "fast"):
+                 plan: Optional[Plan] = None, precision: str = "fast",
+                 fused="auto"):
         """precision: "fast" runs everything in ``dtype``; "high" (float32
         only) runs the convolver FFTs in two-float (df32) arithmetic so the
         pipeline meets the reference's -141 dB golden-equality class on
-        TPU hardware (which has no fast float64)."""
+        TPU hardware (which has no fast float64).
+
+        fused: compose a [conv(up), whole-frac] plan into one per-phase
+        composite matmul (ops/fused.py).  "auto" enables it for the f32
+        fast path; pass False to force the two-stage pipeline."""
         self.plan = plan if plan is not None else make_plan(
             src_rate, dst_rate, trans_band, atten, phase)
         self.dtype = jnp.dtype(dtype)
@@ -46,8 +51,16 @@ class Resampler:
         from ..utils.trace import trace_plan
         trace_plan(self.plan, context=f"resampler dtype={self.dtype} "
                                       f"precision={precision}")
-        self.execs = [build_exec(s, self.dtype, precision)
-                      for s in self.plan.stages]
+        self.execs = None
+        if fused == "auto":
+            fused = (self.dtype == jnp.float32 and precision == "fast")
+        if fused:
+            from ..ops.fused import FusedUpExec, can_fuse
+            if can_fuse(self.plan):
+                self.execs = [FusedUpExec(self.plan, self.dtype, precision)]
+        if self.execs is None:
+            self.execs = [build_exec(s, self.dtype, precision)
+                          for s in self.plan.stages]
         self._jit_chain = jax.jit(self._chain)
 
     @property
