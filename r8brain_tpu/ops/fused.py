@@ -39,10 +39,24 @@ from .stages import _framed_matmul
 __all__ = ["can_fuse", "FusedUpExec"]
 
 
-def can_fuse(plan: Plan) -> bool:
+def can_fuse_prefix(plan: Plan) -> bool:
+    """True when the first two stages are [conv(up, down=1), whole-frac] —
+    fusable regardless of what follows (the intermediate-interpolation
+    branch appends another convolver + half-band chain)."""
     s = plan.stages
-    return (len(s) == 2 and isinstance(s[0], ConvStage) and s[0].down == 1
+    return (len(s) >= 2 and isinstance(s[0], ConvStage) and s[0].down == 1
             and isinstance(s[1], FracStage) and s[1].is_whole)
+
+
+def can_fuse(plan: Plan) -> bool:
+    return len(plan.stages) == 2 and can_fuse_prefix(plan)
+
+
+def fuse_prefix_plan(plan: Plan) -> Plan:
+    """Two-stage sub-plan of the fusable prefix."""
+    return Plan(plan.src_rate, plan.dst_rate, plan.trans_band, plan.atten,
+                plan.phase, tuple(plan.stages[:2]),
+                plan.stages[1].latency_frac_out)
 
 
 class FusedUpExec:

@@ -46,6 +46,22 @@ def test_fused_exact_vs_oracle(cfg):
         assert d < tol, f"{label} {dt}: {d:.1f} dB"
 
 
+def test_prefix_fusion_mid_frac_chain():
+    """Intermediate-interpolation plans fuse their [conv, whole-frac]
+    prefix; the trailing convolver + half-band cascade runs unchanged."""
+    orc = OracleResampler(44100, 384000, 4096, 2.0, 140.0, 0)
+    rs = Resampler(44100, 384000, 2.0, 140.0, 0, dtype="float32",
+                   plan=orc.plan)
+    assert isinstance(rs.execs[0], FusedUpExec) and len(rs.execs) > 1
+    n = 4000
+    x = lcg_uniform(3, n)
+    out_len = int(np.floor(n * 384000 / 44100))
+    ref = orc.oneshot(x, out_len)
+    y = np.asarray(rs.oneshot(x.astype(np.float32)[None], out_len),
+                   np.float64)[0]
+    assert rms_db(y - ref) < -120.0
+
+
 def test_resampler_auto_fuses():
     rs = Resampler(44100, 96000, 2.0, 180.15, 0, dtype="float32")
     assert len(rs.execs) == 1 and isinstance(rs.execs[0], FusedUpExec)
