@@ -38,11 +38,8 @@ def main():
     rs = Resampler(44100, 96000, 2.0, 180.15, 0, dtype=dtype,
                    precision=precision)
     rng = np.random.default_rng(0)
-    # two distinct input buffers, alternated per iteration, so a caching
-    # dispatch layer cannot elide repeated identical executions
-    xs = [jax.device_put(jnp.asarray(
+    x0 = jax.device_put(jnp.asarray(
         rng.standard_normal((channels, n_in)) * 0.5, dtype=dtype))
-        for _ in range(2)]
 
     # Timing over the remote-TPU tunnel: per-iteration host syncs measure
     # round-trip latency, and plain block_until_ready can acknowledge before
@@ -53,21 +50,22 @@ def main():
     chain = rs._chain
 
     @jax.jit
-    def run(x0, x1, n):
+    def run(x0, n):
         def body(i, c):
-            x = jax.lax.cond(i % 2 == 0, lambda: x0, lambda: x1)
-            y = chain(x + c * 1e-30)
+            # each iteration's input differs by the previous checksum, so
+            # nothing can be cached, elided, or overlapped
+            y = chain(x0 + c * 1e-30)
             return jnp.sum(y[:, 1024:1032])
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    float(run(xs[0], xs[1], 1))  # compile + warmup
+    float(run(x0, 1))  # compile + warmup
     t1 = time.perf_counter()
-    float(run(xs[0], xs[1], 1))
+    float(run(x0, 1))
     t_one = time.perf_counter() - t1  # dispatch + 1 iter
 
     t0 = time.perf_counter()
-    acc = float(run(xs[0], xs[1], iters + 1))
+    acc = float(run(x0, iters + 1))
     t_many = time.perf_counter() - t0  # dispatch + (iters+1) iters
     dt = (t_many - t_one) / iters  # pure per-iteration device time
     assert np.isfinite(acc)
@@ -75,7 +73,7 @@ def main():
     prof_dir = os.environ.get("R8B_BENCH_PROFILE")
     if prof_dir:
         with jax.profiler.trace(prof_dir):
-            float(run(xs[0], xs[1], 2))
+            float(run(x0, 2))
 
     mrops = 1e-6 * channels * n_in / dt
     print(json.dumps({
