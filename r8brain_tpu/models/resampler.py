@@ -55,13 +55,9 @@ class Resampler:
         if fused == "auto":
             fused = (self.dtype == jnp.float32 and precision == "fast")
         if fused:
-            from ..ops.fused import (FusedUpExec, can_fuse_prefix,
-                                     fuse_prefix_plan)
-            if can_fuse_prefix(self.plan):
-                pre = FusedUpExec(fuse_prefix_plan(self.plan), self.dtype,
-                                  precision)
-                self.execs = [pre] + [build_exec(s, self.dtype, precision)
-                                      for s in self.plan.stages[2:]]
+            from ..ops.fused import fuse_stage_list
+            self.execs = fuse_stage_list(self.plan, self.dtype, precision,
+                                         build_exec)
         if self.execs is None:
             self.execs = [build_exec(s, self.dtype, precision)
                           for s in self.plan.stages]

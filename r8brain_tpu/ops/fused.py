@@ -39,24 +39,42 @@ from .stages import _framed_matmul
 __all__ = ["can_fuse", "FusedUpExec"]
 
 
-def can_fuse_prefix(plan: Plan) -> bool:
-    """True when the first two stages are [conv(up, down=1), whole-frac] —
-    fusable regardless of what follows (the intermediate-interpolation
-    branch appends another convolver + half-band chain)."""
-    s = plan.stages
-    return (len(s) >= 2 and isinstance(s[0], ConvStage) and s[0].down == 1
-            and isinstance(s[1], FracStage) and s[1].is_whole)
+def _pair_fusable(a, b) -> bool:
+    # every planner branch that puts a convolver directly before the
+    # interpolator uses down == 1 (exact-ratio downsampling bypasses the
+    # interpolator, CDSPResampler.h:337-391), so this covers all plans
+    return (isinstance(a, ConvStage) and a.down == 1
+            and isinstance(b, FracStage) and b.is_whole)
 
 
 def can_fuse(plan: Plan) -> bool:
-    return len(plan.stages) == 2 and can_fuse_prefix(plan)
+    s = plan.stages
+    return len(s) == 2 and _pair_fusable(s[0], s[1])
 
 
-def fuse_prefix_plan(plan: Plan) -> Plan:
-    """Two-stage sub-plan of the fusable prefix."""
-    return Plan(plan.src_rate, plan.dst_rate, plan.trans_band, plan.atten,
-                plan.phase, tuple(plan.stages[:2]),
-                plan.stages[1].latency_frac_out)
+def fuse_stage_list(plan: Plan, dtype, precision, build_exec):
+    """Executor list for the plan with every adjacent [conv(up, down=1),
+    whole-frac] pair replaced by a FusedUpExec.  Mid-chain pairs are valid:
+    a pair's input stream starts at absolute zero of ITS input (upstream
+    stages emit from stream start), which is exactly the fused executor's
+    stream-start semantics.  Returns None if nothing fuses."""
+    stages = plan.stages
+    execs = []
+    i = 0
+    fused_any = False
+    while i < len(stages):
+        if i + 1 < len(stages) and _pair_fusable(stages[i], stages[i + 1]):
+            sub = Plan(plan.src_rate, plan.dst_rate, plan.trans_band,
+                       plan.atten, plan.phase,
+                       (stages[i], stages[i + 1]),
+                       stages[i + 1].latency_frac_out)
+            execs.append(FusedUpExec(sub, dtype, precision))
+            fused_any = True
+            i += 2
+        else:
+            execs.append(build_exec(stages[i], dtype, precision))
+            i += 1
+    return execs if fused_any else None
 
 
 class FusedUpExec:
