@@ -130,12 +130,24 @@ class FusedUpExec:
                 i1 = min(fl, K - v)
                 if i1 > i0:
                     C[j, d] = np.dot(B[i0:i1], k[v + i0 : v + i1])
+        # extend the supercycle by the smallest k that makes the matmul
+        # column count k*p_out a lane multiple (free output reshape on TPU;
+        # costs (k-1)*p_in extra rows = a few % flops)
+        kx = 1
+        for cand in range(1, 5):
+            if (cand * p_out) % 128 == 0:
+                kx = cand
+                break
+        self.kx = kx
         a_min = int(a.min())
-        D = int((a.max() - a_min)) + width
-        sk = np.zeros((p_out, D), dtype=np.float64)
-        for j in range(p_out):
-            o = int(a[j] - a_min)
-            sk[j, o : o + width] = C[j]
+        D = int((a.max() - a_min)) + width + (kx - 1) * p_in
+        sk = np.zeros((kx * p_out, D), dtype=np.float64)
+        for c_off in range(kx):
+            for j in range(p_out):
+                o = int(a[j] - a_min) + c_off * p_in
+                sk[c_off * p_out + j, o : o + width] = C[j]
+        p_in, p_out = kx * p_in, kx * p_out
+        self.p_in, self.p_out = p_in, p_out
         self.a0 = a_min
         self.D = D
 
