@@ -37,7 +37,7 @@ import numpy as np
 
 from ..ops.stages import FracPolyExec, build_exec
 from .lengths import chain_out_len, frac_positions, stage_out_len
-from .plan import FracStage
+from .plan import FracStage, Plan
 from .resampler import Resampler
 
 __all__ = ["StreamResampler"]
@@ -52,7 +52,18 @@ class _PeriodStream:
 
     def __init__(self, rs: Resampler, stages, block_len: int,
                  p_in: int, p_out: int, span: int):
-        self.execs = [build_exec(s, rs.dtype, rs.precision) for s in stages]
+        # mirror the parent resampler's executor choice: fused composite
+        # matmuls when it fused (the fused exec is sample-exact vs the
+        # two-stage chain, so all period/warmup algebra is unchanged)
+        from ..ops.fused import FusedUpExec, fuse_stage_list
+        fused_parent = any(isinstance(e, FusedUpExec) for e in rs.execs)
+        sub = Plan(rs.plan.src_rate, rs.plan.dst_rate, rs.plan.trans_band,
+                   rs.plan.atten, rs.plan.phase, tuple(stages),
+                   rs.plan.latency_frac)
+        execs = (fuse_stage_list(sub, rs.dtype, rs.precision, build_exec)
+                 if fused_parent else None)
+        self.execs = execs if execs is not None else \
+            [build_exec(s, rs.dtype, rs.precision) for s in stages]
         self.stages = stages
         self.dtype = rs.dtype
         self.p_in, self.p_out = p_in, p_out

@@ -153,3 +153,21 @@ def test_stream_tiny_block_len():
     ref = np.asarray(rs.oneshot(x, out_len))
     assert y.shape == ref.shape
     assert rms_db(y - ref) < -300.0
+
+
+def test_stream_fused_matches_fused_oneshot():
+    """A fused parent resampler streams through the same fused composite;
+    stream == oneshot to f32 window-framing noise."""
+    from r8brain_tpu.ops.fused import FusedUpExec
+
+    rs = Resampler(44100, 96000, 2.0, 180.15, 0, dtype="float32")
+    assert isinstance(rs.execs[0], FusedUpExec)
+    st = StreamResampler(rs, block_len=4096)
+    assert isinstance(st._core.execs[0], FusedUpExec)
+    n = 20000
+    x = lcg_uniform(9, n)[None].astype(np.float32)
+    out_len = rs.default_out_len(n)
+    ref = np.asarray(rs.oneshot(x, out_len), dtype=np.float64)
+    y = np.concatenate([st.process(x), st.flush(out_len)], axis=1)
+    assert y.shape == ref.shape
+    assert rms_db(y - ref) < -135.0
