@@ -35,7 +35,7 @@ class Resampler:
                  trans_band: float = 2.0, atten: float = 206.91,
                  phase: int = 0, dtype=jnp.float32,
                  plan: Optional[Plan] = None, precision: str = "fast",
-                 fused="auto"):
+                 fused="auto", conv_engine: str = "auto"):
         """precision: "fast" runs everything in ``dtype``; "high" (float32
         only) runs the convolver FFTs in two-float (df32) arithmetic so the
         pipeline meets the reference's -141 dB golden-equality class on
@@ -43,7 +43,13 @@ class Resampler:
 
         fused: compose a [conv(up), whole-frac] plan into one per-phase
         composite matmul (ops/fused.py).  "auto" enables it for the f32
-        fast path; pass False to force the two-stage pipeline."""
+        fast path; pass False to force the two-stage pipeline.
+
+        conv_engine: convolver engine for unfused stages — "auto",
+        "toeplitz", "fft", "direct", "pallas".  conv_engine="toeplitz" with
+        precision="high" selects the fast kernel-residual high mode
+        (recommended on TPU; the df32-FFT default is the cross-backend
+        guarantee)."""
         self.plan = plan if plan is not None else make_plan(
             src_rate, dst_rate, trans_band, atten, phase)
         self.dtype = jnp.dtype(dtype)
@@ -59,7 +65,7 @@ class Resampler:
             self.execs = fuse_stage_list(self.plan, self.dtype, precision,
                                          build_exec)
         if self.execs is None:
-            self.execs = [build_exec(s, self.dtype, precision)
+            self.execs = [build_exec(s, self.dtype, precision, conv_engine)
                           for s in self.plan.stages]
         self._jit_chain = jax.jit(self._chain)
 

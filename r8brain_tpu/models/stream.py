@@ -56,14 +56,17 @@ class _PeriodStream:
         # matmuls when it fused (the fused exec is sample-exact vs the
         # two-stage chain, so all period/warmup algebra is unchanged)
         from ..ops.fused import FusedUpExec, fuse_stage_list
-        fused_parent = any(isinstance(e, FusedUpExec) for e in rs.execs)
-        sub = Plan(rs.plan.src_rate, rs.plan.dst_rate, rs.plan.trans_band,
-                   rs.plan.atten, rs.plan.phase, tuple(stages),
-                   rs.plan.latency_frac)
-        execs = (fuse_stage_list(sub, rs.dtype, rs.precision, build_exec)
-                 if fused_parent else None)
-        self.execs = execs if execs is not None else \
-            [build_exec(s, rs.dtype, rs.precision) for s in stages]
+        if tuple(stages) == rs.plan.stages:
+            self.execs = rs.execs  # identical chain: reuse, don't rebuild
+        else:
+            fused_parent = any(isinstance(e, FusedUpExec) for e in rs.execs)
+            sub = Plan(rs.plan.src_rate, rs.plan.dst_rate,
+                       rs.plan.trans_band, rs.plan.atten, rs.plan.phase,
+                       tuple(stages), rs.plan.latency_frac)
+            execs = (fuse_stage_list(sub, rs.dtype, rs.precision,
+                                     build_exec) if fused_parent else None)
+            self.execs = execs if execs is not None else \
+                [build_exec(s, rs.dtype, rs.precision) for s in stages]
         self.stages = stages
         self.dtype = rs.dtype
         self.p_in, self.p_out = p_in, p_out

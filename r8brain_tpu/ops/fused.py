@@ -160,25 +160,31 @@ class FusedUpExec:
         # where r'_i = g_n//O_f - fll + i and yc is the convolver formula.
         corr_rows = []
         corr_js = []
-        for j in range(p_out):
-            g = W0 + j * I_f
+        n = 0
+        while True:
+            # walk OUTPUT indices until the interpolator window clears the
+            # stream start — for small supercycle advances (p_in*up < fll)
+            # this spans multiple supercycles, not just the first
+            g = W0 + n * I_f
             s_nolat = g // O_f
             if s_nolat - fll >= 0:
-                continue
+                break
+            j = n
             B = bank[g % O_f]
             t_j = (s_nolat + frac.in_latency) - fll + conv.offset
             qw = (t_j + fl - 1) // up + 1  # x window [0, qw)
-            if qw <= 0:
-                continue
-            row = np.zeros(qw, dtype=np.float64)
-            for i in range(min(fl, fll - s_nolat)):  # r'_i < 0
-                # yc[r'_i + in_lat] = sum_q k[(t_j + i) - up*q] x[q]
-                for q in range(qw):
-                    v = t_j + i - up * q
-                    if 0 <= v < K:
-                        row[q] += B[i] * k[v]
-            corr_rows.append(row)
-            corr_js.append(j)
+            if qw > 0:
+                row = np.zeros(qw, dtype=np.float64)
+                for i in range(min(fl, fll - s_nolat)):  # r'_i < 0
+                    # yc[r'_i + in_lat] = sum_q k[(t_j + i) - up*q] x[q]
+                    for q in range(qw):
+                        v = t_j + i - up * q
+                        if 0 <= v < K:
+                            row[q] += B[i] * k[v]
+                if np.any(row):
+                    corr_rows.append(row)
+                    corr_js.append(j)
+            n += 1
         if corr_js:
             qw_max = max(r.shape[0] for r in corr_rows)
             Cm = np.zeros((len(corr_js), qw_max), dtype=np.float64)

@@ -663,9 +663,10 @@ class FracPolyExec:
         return y
 
 
-def build_exec(spec: Stage, dtype=jnp.float32, precision: str = "fast"):
+def build_exec(spec: Stage, dtype=jnp.float32, precision: str = "fast",
+               conv_engine: str = "auto"):
     if isinstance(spec, ConvStage):
-        return ConvExec(spec, dtype, precision=precision)
+        return ConvExec(spec, dtype, precision=precision, engine=conv_engine)
     if isinstance(spec, HBUpStage):
         return HBUpExec(spec, dtype)
     if isinstance(spec, HBDownStage):

@@ -65,3 +65,16 @@ def drum_like(n: int, rate: float = 44100.0, seed: int = 7) -> np.ndarray:
     x += 0.4 * rng.standard_normal(n) * env
     x /= np.max(np.abs(x)) * 1.05
     return x
+
+
+def band_limited_rms_db(y: np.ndarray, x: np.ndarray, frac: float = 0.9,
+                        skip: int = 1000) -> float:
+    """RMS (dB) of (y - x) restricted to ``frac`` of the band, skipping
+    ``skip`` samples at each end (rmscompare.cpp:72-86 edge skip +
+    zerotest.cpp:62-84 band limiting)."""
+    n = min(len(x), len(y)) - 2 * skip
+    d = y[skip : skip + n] - x[skip : skip + n]
+    D = np.fft.rfft(d * np.hanning(n))
+    k = int(frac * len(D))
+    num = np.sqrt(np.mean(np.abs(D[:k]) ** 2) / (n / 4))
+    return 20 * np.log10(num / np.sqrt(n) + 1e-300)

@@ -24,6 +24,10 @@ CONFIGS = [
     ("up_44k_48k", 44100, 48000, 180.15),
     ("up_44k_64k", 44100, 64000, 160.0),
     ("preset_def", 44100, 96000, 206.91),
+    # small in_step: the start-correction zone spans multiple supercycles
+    # (regression for the multi-supercycle pre-ring fix)
+    ("small_step_4_3", 44100, 58800, 160.0),
+    ("small_step_3_4", 44100, 117600, 160.0),
 ]
 
 

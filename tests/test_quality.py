@@ -25,17 +25,7 @@ from r8brain_tpu.models.oracle import OracleResampler
 from .helpers import lcg_uniform, rms_db
 
 
-def _band_limited_rms_diff(y: np.ndarray, x: np.ndarray, frac: float = 0.9,
-                           skip: int = 1000) -> float:
-    """RMS (dB) of (y - x) restricted to ``frac`` of the band, skipping
-    ``skip`` samples at each end (rmscompare.cpp:72-86 edge skip)."""
-    n = min(len(x), len(y)) - 2 * skip
-    d = y[skip : skip + n] - x[skip : skip + n]
-    D = np.fft.rfft(d * np.hanning(n))
-    k = int(frac * len(D))
-    # normalize: hann window coherent gain 0.5
-    num = np.sqrt(np.mean(np.abs(D[:k]) ** 2) / (n / 4))
-    return 20 * np.log10(num / np.sqrt(n) + 1e-300)
+from .helpers import band_limited_rms_db as _band_limited_rms_diff
 
 
 RATIOS = [21, 25, 30, 33, 40, 41, 47, 55, 60, 64, 80, 100, 120, 160, 200,

@@ -34,15 +34,7 @@ def main(argv=None):
     from r8brain_tpu.models.oracle import OracleResampler
 
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
-    from helpers import lcg_uniform  # noqa: E402
-
-    def band_limited_rms_db(y, x, frac=0.9, skip=1000):
-        n = min(len(x), len(y)) - 2 * skip
-        d = y[skip : skip + n] - x[skip : skip + n]
-        D = np.fft.rfft(d * np.hanning(n))
-        k = int(frac * len(D))
-        num = np.sqrt(np.mean(np.abs(D[:k]) ** 2) / (n / 4))
-        return 20 * np.log10(num / np.sqrt(n) + 1e-300)
+    from helpers import band_limited_rms_db, lcg_uniform  # noqa: E402
 
     rng = np.random.default_rng(1)
     ks = range(21, 641, 10 if args.quick else 1)
