@@ -56,7 +56,8 @@ class _PeriodStream:
         # matmuls when it fused (the fused exec is sample-exact vs the
         # two-stage chain, so all period/warmup algebra is unchanged)
         from ..ops.fused import FusedUpExec, fuse_stage_list
-        if tuple(stages) == rs.plan.stages:
+        if (len(stages) == len(rs.plan.stages)
+                and all(a is b for a, b in zip(stages, rs.plan.stages))):
             self.execs = rs.execs  # identical chain: reuse, don't rebuild
         else:
             fused_parent = any(isinstance(e, FusedUpExec) for e in rs.execs)
