@@ -29,7 +29,16 @@ def main(argv=None):
                     help="every 10th ratio only")
     ap.add_argument("--atten", type=float, default=160.0)
     ap.add_argument("--n", type=int, default=12000)
+    ap.add_argument("--impl", choices=("oracle", "f32"), default="oracle",
+                    help="oracle: CPU f64 executor; f32: the TPU execution "
+                         "path (fused engines) on the current JAX backend")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the JAX CPU backend for --impl f32")
     args = ap.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from r8brain_tpu.models.oracle import OracleResampler
 
@@ -47,16 +56,28 @@ def main(argv=None):
         dst = src * k / 20.0
         tb = 0.5 + 4.5 * rng.random()
         x = lcg_uniform(k, args.n)
-        up = OracleResampler(src, dst, 2048, tb, args.atten, 0)
-        dn = OracleResampler(dst, src, 2048, tb, args.atten, 0)
-        # latency-query consistency
-        need = up.get_input_required_for_output(100)
-        up.clear()
-        got = up.process(x[:need]).shape[0]
-        assert got >= 100, (k, need, got)
-        up.clear()
-        mid = up.oneshot(x, int(np.floor(args.n * dst / src)))
-        y = dn.oneshot(mid, args.n)
+        if args.impl == "f32":
+            import jax
+            from r8brain_tpu.models.resampler import Resampler
+
+            up = Resampler(src, dst, tb, args.atten, 0, dtype="float32")
+            dn = Resampler(dst, src, tb, args.atten, 0, dtype="float32")
+            mid = np.asarray(up.oneshot(
+                x.astype(np.float32)[None],
+                int(np.floor(args.n * dst / src))), np.float64)[0]
+            y = np.asarray(dn.oneshot(mid.astype(np.float32)[None],
+                                      args.n), np.float64)[0]
+        else:
+            up = OracleResampler(src, dst, 2048, tb, args.atten, 0)
+            dn = OracleResampler(dst, src, 2048, tb, args.atten, 0)
+            # latency-query consistency
+            need = up.get_input_required_for_output(100)
+            up.clear()
+            got = up.process(x[:need]).shape[0]
+            assert got >= 100, (k, need, got)
+            up.clear()
+            mid = up.oneshot(x, int(np.floor(args.n * dst / src)))
+            y = dn.oneshot(mid, args.n)
         d = band_limited_rms_db(y, x)
         if d > worst:
             worst, worst_k = d, k
