@@ -112,9 +112,9 @@ class _PeriodStream:
         self.hist = None
         self.n_in = 0
 
-    def process_block(self, block: jnp.ndarray) -> np.ndarray:
-        """block: [C, L] device/host array -> emitted outputs (numpy)."""
-        C = block.shape[0]
+    def process_block_device(self, block: jnp.ndarray) -> jnp.ndarray:
+        """block: [C, L] device array -> emitted outputs as a DEVICE array
+        (no host round trip; the carry stays resident)."""
         assert block.shape[1] == self.L
         if self.hist is None:
             # true stream start: run the chain from absolute zero
@@ -123,10 +123,15 @@ class _PeriodStream:
             self.hist = window[:, -self.H :] if self.L >= self.H else \
                 jnp.pad(window, ((0, 0), (self.H - self.L, 0)))[:, -self.H :]
             self.n_in = self.L
-            return np.asarray(y)
+            return y
         y, self.hist = self._jit_steady(self.hist, block)
         self.n_in += self.L
-        return np.asarray(y)
+        return y
+
+    def process_block(self, block: jnp.ndarray) -> np.ndarray:
+        """block: [C, L] device/host array -> emitted outputs (numpy)."""
+        return np.asarray(self.process_block_device(jnp.asarray(
+            block, dtype=self.dtype)))
 
 
 class _PolyTailStream:
@@ -318,6 +323,24 @@ class StreamResampler:
         self._suf_pending = buf
         return (np.concatenate(outs, axis=1) if outs
                 else np.zeros((y.shape[0], 0), dtype=np.float64))
+
+    def process_block_device(self, x_block) -> "jnp.ndarray":
+        """Serving-path variant: push EXACTLY ``self.block`` samples as a
+        device array and receive the emitted outputs as a device array —
+        no per-block host transfer (the reference has no analog; its
+        process() is host-memory by construction, CDSPResampler.h:559-575).
+        Period-mode (rational-ratio) plans only."""
+        if self._mode != "period" or self._core is None:
+            raise NotImplementedError(
+                "device-resident streaming requires a rational-ratio "
+                "(period-mode) plan")
+        x_block = jnp.asarray(x_block, dtype=self.rs.dtype)
+        if x_block.shape[-1] != self.block:
+            raise ValueError(f"block must be exactly {self.block} samples")
+        self._n_in_total += self.block
+        y = self._core.process_block_device(x_block)
+        self._n_out_total += int(y.shape[-1])
+        return y
 
     def process(self, x) -> np.ndarray:
         """x: [C, n] or [n] chunk; returns [C, m] (or [m]) new outputs."""

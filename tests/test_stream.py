@@ -171,3 +171,24 @@ def test_stream_fused_matches_fused_oneshot():
     y = np.concatenate([st.process(x), st.flush(out_len)], axis=1)
     assert y.shape == ref.shape
     assert rms_db(y - ref) < -135.0
+
+
+def test_stream_device_resident():
+    """process_block_device: device-in/device-out blocks equal the host
+    path bit-for-bit."""
+    import jax.numpy as jnp
+
+    rs = Resampler(44100, 96000, 2.0, 140.0, 0, dtype="float32")
+    st_h = StreamResampler(rs, block_len=2048)
+    st_d = StreamResampler(rs, block_len=2048)
+    n = st_h.block * 4
+    x = lcg_uniform(3, n).astype(np.float32)[None]
+    outs_h, outs_d = [], []
+    for i in range(0, n, st_h.block):
+        blk = x[:, i : i + st_h.block]
+        outs_h.append(st_h.process(blk))
+        outs_d.append(np.asarray(st_d.process_block_device(
+            jnp.asarray(blk))))
+    yh = np.concatenate(outs_h, axis=1)
+    yd = np.concatenate(outs_d, axis=1)
+    assert np.array_equal(yh.astype(np.float32), yd.astype(np.float32))
