@@ -21,9 +21,9 @@ import numpy as np
 
 
 def main():
-    channels = int(os.environ.get("R8B_BENCH_CHANNELS", "2048"))
+    channels = int(os.environ.get("R8B_BENCH_CHANNELS", "1024"))
     seconds = float(os.environ.get("R8B_BENCH_SECONDS", "1.0"))
-    iters = int(os.environ.get("R8B_BENCH_ITERS", "5"))
+    iters = int(os.environ.get("R8B_BENCH_ITERS", "10"))
     dtype = os.environ.get("R8B_BENCH_DTYPE", "float32")
     precision = os.environ.get("R8B_BENCH_PRECISION", "fast")
 
