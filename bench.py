@@ -29,16 +29,9 @@ def main():
 
     import jax
 
-    # persistent compilation cache: remote TPU compiles take minutes; the
-    # cache lets repeated bench invocations (and the round driver) reuse
-    # the compiled executable
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ.get("R8B_JAX_CACHE",
-                                         "/root/repo/.jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from r8brain_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from r8brain_tpu.models.resampler import Resampler24

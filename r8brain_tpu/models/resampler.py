@@ -54,18 +54,21 @@ class Resampler:
             src_rate, dst_rate, trans_band, atten, phase)
         self.dtype = jnp.dtype(dtype)
         self.precision = precision
+        self.conv_engine = conv_engine
         from ..utils.trace import trace_plan
         trace_plan(self.plan, context=f"resampler dtype={self.dtype} "
                                       f"precision={precision}")
         self.execs = None
         if fused == "auto":
             fused = (self.dtype == jnp.float32 and precision == "fast")
+        import functools
+        bld = functools.partial(build_exec, conv_engine=conv_engine)
         if fused:
             from ..ops.fused import fuse_stage_list
             self.execs = fuse_stage_list(self.plan, self.dtype, precision,
-                                         build_exec)
+                                         bld)
         if self.execs is None:
-            self.execs = [build_exec(s, self.dtype, precision, conv_engine)
+            self.execs = [bld(s, self.dtype, precision)
                           for s in self.plan.stages]
         self._jit_chain = jax.jit(self._chain)
 

@@ -60,14 +60,17 @@ class _PeriodStream:
                 and all(a is b for a, b in zip(stages, rs.plan.stages))):
             self.execs = rs.execs  # identical chain: reuse, don't rebuild
         else:
+            import functools
+            bld = functools.partial(
+                build_exec, conv_engine=getattr(rs, "conv_engine", "auto"))
             fused_parent = any(isinstance(e, FusedUpExec) for e in rs.execs)
             sub = Plan(rs.plan.src_rate, rs.plan.dst_rate,
                        rs.plan.trans_band, rs.plan.atten, rs.plan.phase,
                        tuple(stages), rs.plan.latency_frac)
             execs = (fuse_stage_list(sub, rs.dtype, rs.precision,
-                                     build_exec) if fused_parent else None)
+                                     bld) if fused_parent else None)
             self.execs = execs if execs is not None else \
-                [build_exec(s, rs.dtype, rs.precision) for s in stages]
+                [bld(s, rs.dtype, rs.precision) for s in stages]
         self.stages = stages
         self.dtype = rs.dtype
         self.p_in, self.p_out = p_in, p_out
@@ -335,8 +338,17 @@ class StreamResampler:
                 "device-resident streaming requires a rational-ratio "
                 "(period-mode) plan")
         x_block = jnp.asarray(x_block, dtype=self.rs.dtype)
-        if x_block.shape[-1] != self.block:
-            raise ValueError(f"block must be exactly {self.block} samples")
+        if x_block.ndim != 2 or x_block.shape[1] != self.block:
+            raise ValueError(
+                f"block must be [channels, {self.block}] (got "
+                f"{x_block.shape})")
+        if self._pending is not None and self._pending.shape[1]:
+            raise RuntimeError(
+                "cannot mix process_block_device with a partial process() "
+                "chunk still pending — feed whole blocks only")
+        if self._channels is None:
+            self._channels = int(x_block.shape[0])
+            self._squeeze = False
         self._n_in_total += self.block
         y = self._core.process_block_device(x_block)
         self._n_out_total += int(y.shape[-1])

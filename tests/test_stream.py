@@ -192,3 +192,43 @@ def test_stream_device_resident():
     yh = np.concatenate(outs_h, axis=1)
     yd = np.concatenate(outs_d, axis=1)
     assert np.array_equal(yh.astype(np.float32), yd.astype(np.float32))
+
+
+def test_device_stream_guards():
+    """Device streaming: channel bookkeeping for flush/checkpoint; strict
+    shape validation; refusal to mix with a pending partial chunk
+    (code-review findings)."""
+    import jax.numpy as jnp
+
+    rs = Resampler(44100, 96000, 2.0, 140.0, 0, dtype="float32")
+    st = StreamResampler(rs, block_len=2048)
+    n = st.block * 3
+    x = lcg_uniform(5, n).astype(np.float32)
+    xb = np.stack([x, 0.5 * x])
+    outs = [np.asarray(st.process_block_device(
+        jnp.asarray(xb[:, i : i + st.block])))
+        for i in range(0, n, st.block)]
+    tail = st.flush(rs.default_out_len(n))  # channels recorded: no crash
+    y = np.concatenate(outs + [tail], axis=1)
+    ref = np.asarray(rs.oneshot(xb, rs.default_out_len(n)), np.float64)
+    assert y.shape == ref.shape
+    assert rms_db(y - ref) < -130.0
+
+    st2 = StreamResampler(rs, block_len=2048)
+    with pytest.raises(ValueError):
+        st2.process_block_device(jnp.zeros(st2.block, dtype=jnp.float32))
+    st2.process(xb[:, :100])  # partial chunk pending
+    with pytest.raises(RuntimeError):
+        st2.process_block_device(
+            jnp.zeros((2, st2.block), dtype=jnp.float32))
+
+
+def test_stream_conv_engine_propagates():
+    """A forced conv engine must survive streaming's executor rebuild."""
+    rs = Resampler(44100, 96001, 2.0, 140.0, 0, dtype="float32",
+                   conv_engine="fft")
+    st = StreamResampler(rs, block_len=2048)
+    from r8brain_tpu.ops.stages import ConvExec
+
+    convs = [e for e in st._core.execs if isinstance(e, ConvExec)]
+    assert convs and all(c.engine == "fft" for c in convs)

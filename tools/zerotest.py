@@ -3,9 +3,10 @@
 Sweeps the reference's 620 integer ratios k/20 for k = 21..640 with
 randomized transition band, resampling up then back down and measuring the
 band-limited RMS difference against the input (insensitive to
-transition-band loss, zerotest.cpp:62-84).  Also cross-checks the
-closed-form latency query against streaming emission at every ratio
-(zerotest.cpp:115-128).
+transition-band loss, zerotest.cpp:62-84).  In oracle mode it also
+cross-checks the closed-form latency query against streaming emission at
+every ratio (zerotest.cpp:115-128); the f32 mode shares the same latency
+algebra (models/lengths.py), covered by the pytest suite.
 
 The pytest suite runs a 20-ratio subset (tests/test_quality.py); this tool
 is the full acceptance sweep.
@@ -51,13 +52,12 @@ def main(argv=None):
     worst_k = None
     fails = 0
     t0 = time.time()
-    for i, k in enumerate(ks):
+    for k in ks:
         src = 44100.0
         dst = src * k / 20.0
         tb = 0.5 + 4.5 * rng.random()
         x = lcg_uniform(k, args.n)
         if args.impl == "f32":
-            import jax
             from r8brain_tpu.models.resampler import Resampler
 
             up = Resampler(src, dst, tb, args.atten, 0, dtype="float32")
