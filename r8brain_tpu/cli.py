@@ -44,6 +44,9 @@ def main(argv=None):
                     help="cpu forces the JAX CPU backend")
     ap.add_argument("--bench", action="store_true",
                     help="print timing/Mrops for the conversion")
+    ap.add_argument("--stream", action="store_true",
+                    help="convert via the push-mode streaming engine in "
+                         "fixed blocks (memory-bounded for long files)")
     args = ap.parse_args(argv)
 
     from .io.wavio import read_wav, write_wav
@@ -71,8 +74,18 @@ def main(argv=None):
 
         rs = Resampler(src_rate, dst_rate, args.tb, args.atten, phase,
                        dtype="float32", precision=args.precision)
-        y = np.asarray(rs.oneshot(x.astype(np.float32), out_len),
-                       dtype=np.float64)
+        if args.stream:
+            from .models.stream import StreamResampler
+
+            st = StreamResampler(rs, block_len=65536)
+            xs = x.astype(np.float32)
+            parts = [st.process(xs[:, i : i + 65536])
+                     for i in range(0, xs.shape[1], 65536)]
+            parts.append(st.flush(out_len))
+            y = np.concatenate(parts, axis=1)[:, :out_len]
+        else:
+            y = np.asarray(rs.oneshot(x.astype(np.float32), out_len),
+                           dtype=np.float64)
     dt = time.perf_counter() - t0
 
     write_wav(args.outfile, int(dst_rate), y, args.bits, args.float)

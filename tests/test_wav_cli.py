@@ -58,3 +58,25 @@ def test_cli_end_to_end(tmp_path):
     # floor is 24-bit PCM quantization + resampler stop-band
     spur = 20 * np.log10(S[(f < 500) | (f > 1500)].max() + 1e-300)
     assert spur < -140.0
+
+
+def test_cli_stream_mode(tmp_path):
+    """--stream converts through the push-mode engine (memory-bounded) and
+    matches the oneshot conversion."""
+    rate, n = 44100, 30000
+    x = 0.6 * np.sin(2 * np.pi * 700.0 * np.arange(n) / rate)
+    inp = tmp_path / "in.wav"
+    write_wav(str(inp), rate, x[None], 24)
+    outs = {}
+    for label, extra in (("oneshot", []), ("stream", ["--stream"])):
+        outp = tmp_path / f"out_{label}.wav"
+        r = subprocess.run(
+            [sys.executable, "-m", "r8brain_tpu.cli", str(inp), str(outp),
+             "96000", "--precision", "fast", "--platform", "cpu", *extra],
+            capture_output=True, text=True,
+            cwd=str(Path(__file__).resolve().parent.parent))
+        assert r.returncode == 0, r.stderr[-1500:]
+        outs[label] = read_wav(str(outp)).data
+    assert outs["oneshot"].shape == outs["stream"].shape
+    d = outs["oneshot"] - outs["stream"]
+    assert rms_db(d) < -120.0  # 24-bit quantization + framing noise
