@@ -232,3 +232,32 @@ def test_stream_conv_engine_propagates():
 
     convs = [e for e in st._core.execs if isinstance(e, ConvExec)]
     assert convs and all(c.engine == "fft" for c in convs)
+
+
+def test_stream_random_poly_ratios():
+    """Randomized irrational-ish ratios with random chunking: streamed
+    output must equal oneshot (masstest-style property for the poly
+    streaming machinery: prefix periods, host-timed tail, suffix
+    re-blocking)."""
+    rng = np.random.default_rng(77)
+    for trial in range(6):
+        src = 44100.0
+        # a ratio that is NOT rational in <= 1500 steps -> poly mode
+        dst = float(int(44100 * (1.0 + 3.0 * rng.random())) * 7 + 1)
+        rs = Resampler(src, dst, 2.0, 140.0, 0, dtype="float64")
+        st = StreamResampler(rs, block_len=int(rng.integers(1024, 4096)))
+        n = 16000
+        x = lcg_uniform(trial, n)[None]
+        out_len = rs.default_out_len(n)
+        ref = np.asarray(rs.oneshot(x, out_len))
+        pos = 0
+        outs = []
+        while pos < n:
+            c = int(rng.integers(1, 5000))
+            outs.append(st.process(x[:, pos : pos + c]))
+            pos += c
+        outs.append(st.flush(out_len))
+        y = np.concatenate(outs, axis=1)
+        assert y.shape == ref.shape, (trial, dst, y.shape, ref.shape)
+        d = rms_db(y - ref)
+        assert d < -290.0, f"trial {trial} dst={dst}: {d:.1f} dB"

@@ -156,3 +156,27 @@ def test_resampler_latency_queries_match_oracle():
                     == orc.get_input_required_for_output(m))
         assert (rs.get_in_len_before_out_pos(100)
                 == orc.get_in_len_before_out_pos(100))
+
+
+def test_mass_random_ratios_production_path():
+    """masstest-style property through the PRODUCTION f32 executors
+    (fused/engine selection exercised across random plans) vs the oracle."""
+    rng = np.random.default_rng(1234)
+    for trial in range(8):
+        src = 44100.0
+        k = int(rng.integers(21, 641))
+        dst = src * k / 20.0
+        if rng.random() < 0.5:
+            src, dst = dst, src
+        tb = 0.5 + 4.5 * rng.random()
+        orc = OracleResampler(src, dst, 2048, tb, 150.0, 0)
+        rs = Resampler(src, dst, tb, 150.0, 0, dtype="float32",
+                       plan=orc.plan)
+        n = int(rng.integers(4000, 9000))
+        x = lcg_uniform(trial, n)
+        out_len = int(np.floor(n * dst / src))
+        ref = orc.oneshot(x, out_len)
+        y = np.asarray(rs.oneshot(x.astype(np.float32)[None], out_len),
+                       np.float64)[0]
+        d = rms_db(y - ref)
+        assert d < -120.0, f"trial {trial} {src}->{dst} tb={tb:.2f}: {d:.1f}"
