@@ -46,8 +46,12 @@ def main(argv=None):
                     help="print timing/Mrops for the conversion")
     ap.add_argument("--stream", action="store_true",
                     help="convert via the push-mode streaming engine in "
-                         "fixed blocks (memory-bounded for long files)")
+                         "fixed device blocks (bounds device/compile "
+                         "working-set size; WAV I/O is still whole-file)")
     args = ap.parse_args(argv)
+    if args.stream and args.precision == "oracle":
+        ap.error("--stream applies to the device paths only "
+                 "(use --precision fast|high)")
 
     from .io.wavio import read_wav, write_wav
 
@@ -74,15 +78,16 @@ def main(argv=None):
 
         rs = Resampler(src_rate, dst_rate, args.tb, args.atten, phase,
                        dtype="float32", precision=args.precision)
-        if args.stream:
+        if args.stream and wav.frames > 0:
             from .models.stream import StreamResampler
 
             st = StreamResampler(rs, block_len=65536)
-            xs = x.astype(np.float32)
-            parts = [st.process(xs[:, i : i + 65536])
-                     for i in range(0, xs.shape[1], 65536)]
-            parts.append(st.flush(out_len))
-            y = np.concatenate(parts, axis=1)[:, :out_len]
+            # process() re-blocks internally on the stream's block grid
+            y = np.concatenate(
+                [st.process(x.astype(np.float32)), st.flush(out_len)],
+                axis=1)[:, :out_len]
+        elif args.stream:
+            y = np.zeros((wav.channels, 0), dtype=np.float64)
         else:
             y = np.asarray(rs.oneshot(x.astype(np.float32), out_len),
                            dtype=np.float64)
