@@ -149,7 +149,10 @@ class ConvExec:
         self.engine = engine
         k = np.asarray(spec.filt.kernel, dtype=np.float64)
         self.K = k.shape[0]
-        if engine in ("direct", "toeplitz", "pallas"):
+        if engine == "pallas_fft":
+            # the VMEM-resident df32-FFT kernel shares the fft framing
+            self.precision = "high"
+        elif engine in ("direct", "toeplitz", "pallas"):
             self._build_direct(k)
             if engine == "toeplitz":
                 self._build_toeplitz()
@@ -170,11 +173,15 @@ class ConvExec:
         if self.precision == "high":
             # full complex f64 spectrum with the 1/N inverse scale folded
             # in; consumed hi/lo-split by the df32 FFT convolver
-            from .dfft import DfFFT
             Hfull = np.fft.fft(k, n=nfft) / nfft
-            self.H_re = np.ascontiguousarray(Hfull.real)
-            self.H_im = np.ascontiguousarray(Hfull.imag)
-            self.dfft_plan = DfFFT(nfft)
+            if engine == "pallas_fft":
+                from .pallas_dfft import DfFFTConvPlan
+                self.dfft_plan = DfFFTConvPlan(nfft, Hfull)
+            else:
+                from .dfft import DfFFT
+                self.H_re = np.ascontiguousarray(Hfull.real)
+                self.H_im = np.ascontiguousarray(Hfull.imag)
+                self.dfft_plan = DfFFT(nfft)
             self.H_hi = self.H_lo = None
         elif self.dtype == jnp.float32:
             Hf = np.fft.rfft(k, n=nfft)
@@ -402,7 +409,10 @@ class ConvExec:
         frames = jnp.concatenate(
             [chunks[:, :n_frames, :], chunks[:, 1:, :P]], axis=-1)
 
-        if self.precision == "high":
+        if self.engine == "pallas_fft":
+            from .pallas_dfft import df_ols_convolve_pallas
+            W = df_ols_convolve_pallas(frames, self.dfft_plan)
+        elif self.precision == "high":
             from .dfft import df_ols_convolve
             W = df_ols_convolve(frames, self.H_re, self.H_im, self.dfft_plan)
         else:

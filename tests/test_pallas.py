@@ -85,3 +85,44 @@ def test_frac_engine_pallas_falls_back_unaligned():
     m = min(y.shape[1], len(ref))
     d = rms_db(y[0][:m] - ref[:m])
     assert d < -120.0, d
+
+
+def test_df_fft_conv_kernel():
+    """VMEM-resident df32-FFT convolution kernel (interpreter mode):
+    forward DIF -> scrambled spectrum multiply -> inverse DIT, roll-based
+    butterflies, two-float arithmetic."""
+    from r8brain_tpu.ops.pallas_dfft import (DfFFTConvPlan,
+                                             df_ols_convolve_pallas)
+
+    rng = np.random.default_rng(0)
+    N = 512
+    k = rng.standard_normal(101)
+    plan = DfFFTConvPlan(N, np.fft.fft(k, n=N) / N)
+    x = rng.standard_normal((4, N)).astype(np.float32)
+    y = np.asarray(df_ols_convolve_pallas(jnp.asarray(x), plan, T=4,
+                                          interpret=True), np.float64)
+    ref = np.real(np.fft.ifft(
+        np.fft.fft(x.astype(np.float64), axis=-1) * np.fft.fft(k, n=N)))
+    err = np.abs(y - ref).max() / np.abs(ref).max()
+    assert err < 3e-7, err
+
+
+def test_pallas_fft_conv_engine(monkeypatch):
+    """ConvExec(engine='pallas_fft') matches the oracle to the df32 class
+    (small kernel; interpreter mode)."""
+    from r8brain_tpu.ops import pallas_dfft
+
+    orig = pallas_dfft.df_ols_convolve_pallas
+    monkeypatch.setattr(
+        pallas_dfft, "df_ols_convolve_pallas",
+        lambda f, p, T=8, interpret=False: orig(f, p, T=T, interpret=True))
+    orc = OracleResampler(44100, 96000, 4096, 10.0, 75.0, 0)
+    spec = orc.plan.stages[0]
+    oc = orc.stages[0]
+    x = lcg_uniform(5, 3000)
+    ref = np.concatenate([oc.process(x), oc.process(np.zeros(1000))])
+    ex = ConvExec(spec, jnp.float32, precision="high", engine="pallas_fft")
+    y = np.asarray(ex.apply(jnp.asarray(np.pad(x, (0, 1000))[None],
+                                        dtype=jnp.float32)), np.float64)[0]
+    m = min(len(y), len(ref))
+    assert rms_db(y[:m] - ref[:m]) < -140.0
