@@ -8,8 +8,9 @@ Mrops = 1e-6 * input-samples * channels / second of wall time, steady-state
 (compile excluded).  Baseline = 38 Mrops: CDSPResampler24 44100->96000 on one
 Ryzen 3700X core with the default Ooura FFT (README.md:111-116).
 
-Env knobs: R8B_BENCH_CHANNELS (default 2048), R8B_BENCH_SECONDS (1.0),
-R8B_BENCH_ITERS (5), R8B_BENCH_DTYPE (float32).
+Env knobs: R8B_BENCH_CHANNELS (default 1024), R8B_BENCH_SECONDS (1.0),
+R8B_BENCH_ITERS (10), R8B_BENCH_DTYPE (float32), R8B_BENCH_PRECISION
+(fast).
 """
 
 import json

@@ -36,6 +36,15 @@ struct Reader {
         return v;
     }
 
+    // A count read from the blob is only trusted if that many doubles can
+    // still follow in the remaining bytes: a negative or huge count from a
+    // truncated/corrupted blob must fail the parse (NULL return per
+    // r8bt.h), not throw length_error/bad_alloc out of extern "C".
+    bool validCount(int64_t n) {
+        if (n < 0 || (uint64_t)n > left / sizeof(double)) ok = false;
+        return ok;
+    }
+
     bool getArray(double *dst, size_t n) {
         if (left < n * sizeof(double)) {
             ok = false;
@@ -347,12 +356,21 @@ Engine *parseBlob(const void *blob, size_t len) {
             s->down = rd.get<int64_t>();
             s->off = rd.get<int64_t>();
             s->K = rd.get<int64_t>();
+            if (s->up <= 0 || s->down <= 0 || !rd.validCount(s->K)) {
+                delete s;
+                rd.ok = false;
+                break;
+            }
             s->k.resize((size_t)s->K);
             rd.getArray(s->k.data(), (size_t)s->K);
             e->stages.push_back(s);
         } else if (kind == 1 || kind == 2) {
             long nt = rd.get<int64_t>();
             long lat = rd.get<int64_t>();
+            if (lat < 0 || !rd.validCount(nt)) {
+                rd.ok = false;
+                break;
+            }
             if (kind == 1) {
                 auto *s = new HBUpStage();
                 s->nt = nt;
@@ -375,6 +393,13 @@ Engine *parseBlob(const void *blob, size_t len) {
             s->w0 = rd.get<int64_t>();
             s->inLat = rd.get<int64_t>();
             s->fl = rd.get<int64_t>();
+            if (s->inStep <= 0 || s->outStep <= 0 || s->inLat < 0 ||
+                s->fl <= 0 || s->outStep > (1 << 20) || s->fl > (1 << 20) ||
+                !rd.validCount(s->outStep * s->fl)) {
+                delete s;
+                rd.ok = false;
+                break;
+            }
             s->table.resize((size_t)(s->outStep * s->fl));
             rd.getArray(s->table.data(), s->table.size());
             e->stages.push_back(s);
@@ -387,6 +412,13 @@ Engine *parseBlob(const void *blob, size_t len) {
             s->fl = rd.get<int64_t>();
             s->fracs = rd.get<int64_t>();
             s->rows = rd.get<int64_t>();
+            if (s->inLat < 0 || s->fl <= 0 || s->fracs <= 0 ||
+                s->rows <= 0 || s->rows > (1 << 20) || s->fl > (1 << 20) ||
+                !rd.validCount(s->rows * s->fl * 3)) {
+                delete s;
+                rd.ok = false;
+                break;
+            }
             s->table.resize((size_t)(s->rows * s->fl * 3));
             rd.getArray(s->table.data(), s->table.size());
             e->stages.push_back(s);
@@ -407,7 +439,12 @@ Engine *parseBlob(const void *blob, size_t len) {
 extern "C" {
 
 r8bt_handle r8bt_create_from_blob(const void *blob, size_t len) {
-    return (r8bt_handle)parseBlob(blob, len);
+    if (!blob) return nullptr;
+    try {
+        return (r8bt_handle)parseBlob(blob, len);
+    } catch (...) {  // keep the NULL-on-parse-failure ABI contract
+        return nullptr;
+    }
 }
 
 void r8bt_delete(r8bt_handle h) { delete (Engine *)h; }

@@ -32,10 +32,12 @@ def main(argv=None):
     ap.add_argument("--atten", type=float, default=180.15,
                     help="stop-band attenuation dB (49-218)")
     ap.add_argument("--phase", choices=("lin", "min"), default="lin")
-    ap.add_argument("--bits", type=int, default=24,
-                    choices=(16, 24, 32), help="output PCM depth")
+    ap.add_argument("--bits", type=int, default=None,
+                    choices=(16, 24, 32, 64),
+                    help="output sample depth (PCM: 16/24/32, default 24; "
+                         "with --float: 32/64, default 32)")
     ap.add_argument("--float", action="store_true",
-                    help="write IEEE float output")
+                    help="write IEEE float output (32-bit by default)")
     ap.add_argument("--precision", choices=("fast", "high", "oracle"),
                     default="high",
                     help="fast=f32, high=f32+df32 convolver (-141 dB class), "
@@ -49,6 +51,13 @@ def main(argv=None):
                          "fixed device blocks (bounds device/compile "
                          "working-set size; WAV I/O is still whole-file)")
     args = ap.parse_args(argv)
+    if args.bits is None:
+        args.bits = 32 if getattr(args, "float") else 24
+    elif getattr(args, "float") and args.bits not in (32, 64):
+        ap.error(f"--float writes IEEE-float WAVs (32 or 64 bits); "
+                 f"--bits {args.bits} is PCM-only")
+    elif not getattr(args, "float") and args.bits == 64:
+        ap.error("--bits 64 requires --float (no 64-bit PCM)")
     if args.stream and args.precision == "oracle":
         ap.error("--stream applies to the device paths only "
                  "(use --precision fast|high)")

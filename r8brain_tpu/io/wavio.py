@@ -96,9 +96,11 @@ def write_wav(path: str, rate: int, data: np.ndarray, bits: int = 24,
     if float_fmt:
         if bits == 32:
             payload = inter.astype("<f4").tobytes()
-        else:
-            bits = 64
+        elif bits == 64:
             payload = inter.astype("<f8").tobytes()
+        else:
+            raise ValueError(
+                f"IEEE-float WAV supports bits=32 or 64, got {bits}")
         tag = _WAVE_FORMAT_IEEE_FLOAT
     else:
         tag = _WAVE_FORMAT_PCM

@@ -62,7 +62,8 @@ class _PeriodStream:
         else:
             import functools
             bld = functools.partial(
-                build_exec, conv_engine=getattr(rs, "conv_engine", "auto"))
+                build_exec, conv_engine=getattr(rs, "conv_engine", "auto"),
+                frac_engine=getattr(rs, "frac_engine", "auto"))
             fused_parent = any(isinstance(e, FusedUpExec) for e in rs.execs)
             sub = Plan(rs.plan.src_rate, rs.plan.dst_rate,
                        rs.plan.trans_band, rs.plan.atten, rs.plan.phase,
@@ -349,6 +350,10 @@ class StreamResampler:
         if self._channels is None:
             self._channels = int(x_block.shape[0])
             self._squeeze = False
+        elif int(x_block.shape[0]) != self._channels:
+            raise ValueError(
+                f"block has {int(x_block.shape[0])} channels, stream "
+                f"started with {self._channels}")
         self._n_in_total += self.block
         y = self._core.process_block_device(x_block)
         self._n_out_total += int(y.shape[-1])
@@ -364,6 +369,10 @@ class StreamResampler:
         if self._channels is None:
             self._channels = C
             self._squeeze = squeeze
+        elif C != self._channels:
+            raise ValueError(
+                f"chunk has {C} channels, stream started with "
+                f"{self._channels}")
         self._n_in_total += x.shape[1]
         buf = x if self._pending is None else \
             np.concatenate([self._pending, x], axis=1)

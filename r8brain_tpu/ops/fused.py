@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from ..models.lengths import chain_out_len
 from ..models.plan import ConvStage, FracStage, Plan
-from .stages import _framed_matmul
+from .stages import RESIDUAL_PRECISION, _framed_matmul
 
 __all__ = ["can_fuse", "FusedUpExec"]
 
@@ -221,7 +221,8 @@ class FusedUpExec:
         out = _framed_matmul(xp, skT, n_cyc, p_in)
         if self.precision == "high":
             out = out + _framed_matmul(xp, jnp.asarray(self.skT_lo),
-                                       n_cyc, p_in)
+                                       n_cyc, p_in,
+                                       precision=RESIDUAL_PRECISION)
         y = out.reshape(C_, n_cyc * p_out)
         if self.corr_js is not None:
             qw = self.corr.shape[1]

@@ -30,14 +30,18 @@ except Exception:  # pragma: no cover
 __all__ = ["HAVE_PALLAS", "frac_whole_pallas"]
 
 
-def _make_kernel(Q: int, I: int, D: int, O: int, CT: int):
+def _make_kernel(Q: int, I: int, D: int, O: int, CT: int, has_lo: bool):
     span = (Q - 1) * I + D
     # Mosaic requires HBM DMA slices 128-aligned in the minor dim: copy an
     # aligned superset and index the residual offset inside VMEM.
     S = -(-(span + 127) // 128) * 128
     aligned = (Q * I) % 128 == 0  # per-cell start is always 128-aligned
 
-    def kernel(x_hbm, sk_ref, o_ref, xwin, sem):
+    def kernel(x_hbm, sk_ref, *rest):
+        if has_lo:
+            sk_lo_ref, o_ref, xwin, sem = rest
+        else:
+            o_ref, xwin, sem = rest
         c = pl.program_id(0)
         b = pl.program_id(1)
         start = b * (Q * I)
@@ -58,9 +62,16 @@ def _make_kernel(Q: int, I: int, D: int, O: int, CT: int):
                  else xwin[:, pl.ds(off + q * I, D)])
             # HIGHEST: 6-pass bf16 decomposition == f32 accuracy; the MXU
             # default single pass is bf16-only (~2e-3 relative error)
-            o_ref[:, q * O : (q + 1) * O] = jnp.dot(
-                w, sk, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+            o = jnp.dot(w, sk, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+            if has_lo:
+                # kernel-representation residual (precision="high"): the
+                # lo operator is ~2^-24 the main term, so one default-
+                # precision bf16 pass suffices (~2^-34 relative)
+                o = o + jnp.dot(w, sk_lo_ref[:],
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.DEFAULT)
+            o_ref[:, q * O : (q + 1) * O] = o
 
     return kernel, span, S
 
@@ -69,14 +80,20 @@ def _make_kernel(Q: int, I: int, D: int, O: int, CT: int):
                                              "interpret"))
 def frac_whole_pallas(xp: jnp.ndarray, skT: jnp.ndarray, Q: int, I: int,
                       D: int, O: int, CT: int = 128,
-                      interpret: bool = False) -> jnp.ndarray:
+                      interpret: bool = False,
+                      skT_lo=None) -> jnp.ndarray:
     """xp: [C, L] float32 with C % CT == 0 and
     L >= (n_blocks*Q - 1)*I + D; skT: [D, O].
     Returns y [C, n_blocks*Q*O]: y[c, (b*Q+q)*O + j] = window(b*Q+q) . skT.
+
+    skT_lo (optional, [D, O]): f64->f32 kernel-representation residual for
+    the precision="high" class; fused into the same kernel as a second
+    cheap-precision dot (no extra input DMA).
     """
     C, L = xp.shape
     assert C % CT == 0, (C, CT)
-    kernel, span, S = _make_kernel(Q, I, D, O, CT)
+    has_lo = skT_lo is not None
+    kernel, span, S = _make_kernel(Q, I, D, O, CT, has_lo)
     n_blocks = (L - span) // (Q * I) + 1
     assert n_blocks >= 1
     # every cell's aligned DMA superset must stay in bounds
@@ -84,18 +101,22 @@ def frac_whole_pallas(xp: jnp.ndarray, skT: jnp.ndarray, Q: int, I: int,
     if L < need:
         xp = jnp.pad(xp, ((0, 0), (0, need - L)))
     grid = (C // CT, n_blocks)
+    bank_spec = pl.BlockSpec((skT.shape[0], O), lambda c, b: (0, 0))
+    any_space = getattr(pl, "ANY", None) or pltpu.ANY
+    in_specs = [pl.BlockSpec(memory_space=any_space), bank_spec]
+    operands = [xp, skT]
+    if has_lo:
+        in_specs.append(bank_spec)
+        operands.append(skT_lo)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((C, n_blocks * Q * O), jnp.float32),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((skT.shape[0], O), lambda c, b: (0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((CT, Q * O), lambda c, b: (c, b)),
         scratch_shapes=[
             pltpu.VMEM((CT, S), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(xp, skT)
+    )(*operands)

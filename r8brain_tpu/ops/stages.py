@@ -67,6 +67,15 @@ def _frames(xp: jnp.ndarray, n_blocks: int, hop: int, L_f: int
     return jnp.concatenate(segs, axis=-1)[:, :, :L_f]
 
 
+#: MXU precision for residual (lo) operator passes.  The residual operator
+#: is ~2^-24 the magnitude of the main term, so its matmul only needs ~8
+#: bits of relative accuracy: one bf16 MXU pass (DEFAULT) contributes
+#: ~2^-34 relative error to the sum — far below the f32 target — at 1/6th
+#: the cost of the 6-pass HIGHEST decomposition.  This is what makes
+#: precision="high" ~7/6x (not 2x) the fast path's cost.
+RESIDUAL_PRECISION = jax.lax.Precision.DEFAULT
+
+
 def _framed_matmul(xp: jnp.ndarray, T: jnp.ndarray, n_blocks: int, hop: int,
                    precision=None) -> jnp.ndarray:
     """out[c, b, k] = sum_l frames[c, b, l] * T[l, k] with
@@ -140,12 +149,12 @@ class ConvExec:
         self.dtype = jnp.dtype(dtype)
         self.precision = precision if self.dtype == jnp.float32 else "fast"
         if engine == "auto":
-            # f32 fast path: banded-Toeplitz MXU matmul.  f32 high
-            # precision: df32-FFT (backend-independent -145 dB guarantee).
-            # f64 (CPU parity/testing): FFT overlap-save.
-            engine = ("toeplitz" if (self.dtype == jnp.float32
-                                     and self.precision == "fast")
-                      else "fft")
+            # f32 (fast AND high): banded-Toeplitz MXU matmul — in high
+            # precision it adds a cheap kernel-residual pass and meets the
+            # -141 dB class at ~7/6x the fast cost (the df32-FFT stays
+            # selectable via engine="fft" as the backend-independent
+            # guarantee).  f64 (CPU parity/testing): FFT overlap-save.
+            engine = "toeplitz" if self.dtype == jnp.float32 else "fft"
         self.engine = engine
         k = np.asarray(spec.filt.kernel, dtype=np.float64)
         self.K = k.shape[0]
@@ -214,6 +223,7 @@ class ConvExec:
                 kidx = tj - (s_min + d) * up
                 if 0 <= kidx < K:
                     sk[j, d] = k[kidx]
+        self._sk64 = sk  # full-precision superkernel (residual source)
         self.sk_direct = sk.astype(self.dtype)
         if self.precision == "high":
             hi = sk.astype(np.float32)
@@ -241,8 +251,11 @@ class ConvExec:
         # keep the flop waste (B*down/D) bounded while B stays MXU-friendly
         while B * down > 2 * D and B > 128:
             B //= 2
-        sk64 = self.sk_direct.astype(np.float64) if self.dtype != jnp.float64 \
-            else self.sk_direct
+        # build from the FULL-precision superkernel: deriving the operator
+        # from the dtype-rounded sk_direct would make the high-precision
+        # residual Tlo identically zero (the values would already be
+        # exactly representable)
+        sk64 = self._sk64
         # single full-band operator: chunking the tap dimension (fewer
         # MACs: (D + G*B*down)/up vs (B*down + D)/up) was measured SLOWER
         # on TPU v5e (18.2 vs 14.3 ms/iter at 1024 ch) — several smaller
@@ -276,13 +289,19 @@ class ConvExec:
         spec = self.spec
         up, down = spec.up, spec.down
         D = self.D_direct
-        sk64 = self.sk_direct.astype(np.float64)
+        sk64 = self._sk64
         L_f = (B - 1) * down + D
         T = np.zeros((L_f, B * up), dtype=np.float64)
         for t in range(B):
             for j in range(up):
                 T[t * down : t * down + D, t * up + j] = sk64[j]
         self.T_pallas = T.astype(np.float32)
+        # kernel-representation residual for precision="high": fused into
+        # the same Pallas kernel as a second (cheap-precision) dot so the
+        # pallas engine delivers the same accuracy class as toeplitz
+        self.T_pallas_lo = (
+            (T - self.T_pallas.astype(np.float64)).astype(np.float32)
+            if self.precision == "high" else None)
         self.B_pallas = B
         self.Lf_pallas = L_f
 
@@ -297,6 +316,10 @@ class ConvExec:
         if (B * down * Q) % 128 != 0:
             CT = 0  # Mosaic: unaligned cell stride unsupported on hardware
         if CT == 0:
+            from ..utils.trace import trace
+            trace("conv_pallas_fallback", reason="channel-tile/stride "
+                  "alignment", C=C, cell_stride=B * down * Q,
+                  fallback="toeplitz")
             if not hasattr(self, "toep_chunks"):
                 self._build_toeplitz()
             return self._apply_toeplitz(x, M)
@@ -309,8 +332,10 @@ class ConvExec:
         span_need = (n_blocks * Q - 1) * B * down + L_f
         if xp.shape[1] < span_need:
             xp = jnp.pad(xp, ((0, 0), (0, span_need - xp.shape[1])))
+        lo = (jnp.asarray(self.T_pallas_lo)
+              if self.T_pallas_lo is not None else None)
         y = frac_whole_pallas(xp, jnp.asarray(self.T_pallas), Q, B * down,
-                              L_f, B * up, CT=CT)
+                              L_f, B * up, CT=CT, skT_lo=lo)
         return y[:, :M]
 
     def _apply_toeplitz(self, x: jnp.ndarray, M: int) -> jnp.ndarray:
@@ -329,7 +354,8 @@ class ConvExec:
                                B * down)
             if Tlo is not None:
                 o = o + _framed_matmul(xp[:, d0:], jnp.asarray(Tlo),
-                                       n_blocks, B * down)
+                                       n_blocks, B * down,
+                                       precision=RESIDUAL_PRECISION)
             out = o if out is None else out + o
         y = out.reshape(C, n_blocks * B * up)
         return y[:, :M]
@@ -364,7 +390,8 @@ class ConvExec:
                     s_hi, s_lo = og, jnp.zeros_like(og)
                 else:
                     s_hi, s_lo = df_add((s_hi, s_lo), (og, jnp.zeros_like(og)))
-            lo = _conv1d(xp, self.sk_lo, stride=down)[:, :, :n_cyc]
+            lo = _conv1d(xp, self.sk_lo, stride=down,
+                         precision=RESIDUAL_PRECISION)[:, :, :n_cyc]
             out = s_hi + (s_lo + lo)
         else:
             out = _conv1d(xp, self.sk_direct, stride=down)[:, :, :n_cyc]
@@ -578,16 +605,22 @@ class FracWholeExec:
                 span_need = (n_blocks * Q - 1) * I + self.D
                 if xp.shape[1] < span_need:
                     xp = jnp.pad(xp, ((0, 0), (0, span_need - xp.shape[1])))
+                lo = (jnp.asarray(self.sk_lo.T)
+                      if self.precision == "high" else None)
                 y = frac_whole_pallas(xp, jnp.asarray(self.sk.T), Q, I,
-                                      self.D, O, CT=CT)
+                                      self.D, O, CT=CT, skT_lo=lo)
                 return y[:, :M]
-            # fall through to im2col when channels don't tile
+            # fall through to im2col when channels/stride don't tile
+            from ..utils.trace import trace
+            trace("frac_pallas_fallback", reason="channel-tile/stride "
+                  "alignment", C=C, cell_stride=Q * I, fallback="im2col")
         if self.engine in ("im2col", "pallas"):
             skT = jnp.asarray(self.sk.T)  # [D, O]
             out = _framed_matmul(xp, skT, n_cyc, I)
             if self.precision == "high":
                 out = out + _framed_matmul(xp, jnp.asarray(self.sk_lo.T),
-                                           n_cyc, I)
+                                           n_cyc, I,
+                                           precision=RESIDUAL_PRECISION)
             y = out.reshape(C, n_cyc * O)
             return y[:, :M]
         if self.precision == "high":
@@ -603,7 +636,8 @@ class FracWholeExec:
                 else:
                     s_hi, s_lo = df_add((s_hi, s_lo),
                                         (og, jnp.zeros_like(og)))
-            lo = _conv1d(xp, self.sk_lo, stride=I)[:, :, :n_cyc]
+            lo = _conv1d(xp, self.sk_lo, stride=I,
+                         precision=RESIDUAL_PRECISION)[:, :, :n_cyc]
             out = s_hi + (s_lo + lo)
         else:
             out = _conv1d(xp, self.sk, stride=I)[:, :, :n_cyc]
@@ -674,7 +708,7 @@ class FracPolyExec:
 
 
 def build_exec(spec: Stage, dtype=jnp.float32, precision: str = "fast",
-               conv_engine: str = "auto"):
+               conv_engine: str = "auto", frac_engine: str = "auto"):
     if isinstance(spec, ConvStage):
         return ConvExec(spec, dtype, precision=precision, engine=conv_engine)
     if isinstance(spec, HBUpStage):
@@ -683,6 +717,7 @@ def build_exec(spec: Stage, dtype=jnp.float32, precision: str = "fast",
         return HBDownExec(spec, dtype)
     if isinstance(spec, FracStage):
         if spec.is_whole:
-            return FracWholeExec(spec, dtype, precision=precision)
+            return FracWholeExec(spec, dtype, precision=precision,
+                                 engine=frac_engine)
         return FracPolyExec(spec, dtype)
     raise TypeError(spec)

@@ -47,8 +47,9 @@ def test_kernel_matches_reference(shape):
 def _interpret_pallas(monkeypatch):
     orig = pallas_frac.frac_whole_pallas
 
-    def patched(xp, skT, Q, I, D, O, CT=128, interpret=False):
-        return orig(xp, skT, Q, I, D, O, CT=CT, interpret=True)
+    def patched(xp, skT, Q, I, D, O, CT=128, interpret=False, skT_lo=None):
+        return orig(xp, skT, Q, I, D, O, CT=CT, interpret=True,
+                    skT_lo=skT_lo)
 
     monkeypatch.setattr(pallas_frac, "frac_whole_pallas", patched)
 

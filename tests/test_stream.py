@@ -123,22 +123,33 @@ def test_stream_checkpoint_resume(cfg):
 
 
 def test_stream_high_precision():
-    """Streaming with the df32 high-precision convolver meets the golden
-    class vs the f64 oracle."""
+    """Streaming the df32-FFT guarantee engine meets the golden class vs
+    the f64 oracle on any backend; the DEFAULT high mode (fast fused
+    residual matmuls) streams at the CPU matmul floor here and at -149 dB
+    on the MXU (bench.py re-measures each round)."""
     from r8brain_tpu.models.oracle import OracleResampler
 
-    rs = Resampler(44100, 96000, 2.0, 180.15, 0, dtype="float32",
-                   precision="high")
-    st = StreamResampler(rs, block_len=4096)
     n = 16000
     x = lcg_uniform(21, n)
+    orc = OracleResampler(44100, 96000, 4096, 2.0, 180.15, 0)
+
+    rs = Resampler(44100, 96000, 2.0, 180.15, 0, dtype="float32",
+                   precision="high", fused=False, conv_engine="fft")
+    st = StreamResampler(rs, block_len=4096)
     out_len = rs.default_out_len(n)
     y = np.concatenate([st.process(x.astype(np.float32)),
                         st.flush(out_len)])
-    orc = OracleResampler(44100, 96000, 4096, 2.0, 180.15, 0, plan=rs.plan)
     ref = orc.oneshot(x, out_len)
     assert y.shape == ref.shape
     assert rms_db(y - ref) < -141.0
+
+    rs_d = Resampler(44100, 96000, 2.0, 180.15, 0, dtype="float32",
+                     precision="high")
+    st_d = StreamResampler(rs_d, block_len=4096)
+    y_d = np.concatenate([st_d.process(x.astype(np.float32)),
+                          st_d.flush(out_len)])
+    assert y_d.shape == ref.shape
+    assert rms_db(y_d - ref) < -133.0
 
 
 def test_stream_tiny_block_len():
