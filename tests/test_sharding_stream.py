@@ -1,0 +1,128 @@
+"""Sharded streaming (parallel/stream_sharding.py) vs the unsharded chain.
+
+The production serving shape: a continuous stream pushed block-by-block
+over a (channels x time) device mesh, with per-block ppermute halo
+exchange and a carried history — the context-parallel analog of the
+reference's ring buffers (SURVEY.md §5).  Checked in f64 (algorithmic
+exactness to FFT/rounding noise) and f32 at BOTH precision classes (the
+production dtype, VERDICT r1 weak #1).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from r8brain_tpu.models.resampler import Resampler
+from r8brain_tpu.parallel.stream_sharding import ShardedStreamResampler
+
+from .helpers import rms_db
+
+
+def _mesh(shape, names):
+    n = int(np.prod(shape))
+    devs = np.array(jax.devices()[:n]).reshape(shape)
+    return Mesh(devs, names)
+
+
+def _stream_all(ss, x, out_len):
+    n_blocks = x.shape[1] // ss.block
+    outs = [np.asarray(ss.process_block(
+        x[:, i * ss.block : (i + 1) * ss.block]), dtype=np.float64)
+        for i in range(n_blocks)]
+    outs.append(ss.flush(out_len))
+    y = np.concatenate(outs, axis=1)
+    assert y.shape[1] == out_len
+    return y
+
+
+@pytest.mark.parametrize("mesh_shape,names", [
+    ((2, 4), ("ch", "t")),
+    ((8,), ("t",)),
+    ((8,), ("ch",)),
+])
+def test_sharded_stream_f64_exact(mesh_shape, names):
+    mesh = _mesh(mesh_shape, names)
+    rs = Resampler(44100, 96000, 2.0, 180.15, 0, dtype=jnp.float64)
+    ss = ShardedStreamResampler(rs, mesh, seg_len=2048)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((4, 3 * ss.block))
+    out_len = rs.default_out_len(x.shape[1])
+    y = _stream_all(ss, x, out_len)
+    ref = np.asarray(rs.oneshot(x, out_len))
+    assert rms_db(y - ref) < -280.0
+
+
+@pytest.mark.parametrize("precision", ["fast", "high"])
+@pytest.mark.parametrize("fused", [True, False])
+def test_sharded_stream_f32(precision, fused):
+    """f32 production dtype: sharded streaming must match the unsharded
+    oneshot to f32 re-framing noise (budget -125 dB: halo framing shifts
+    matmul/FFT accumulation order; the unsharded chain itself sits at the
+    ~-135 dB CPU f32 floor vs the f64 oracle)."""
+    mesh = _mesh((2, 4), ("ch", "t"))
+    rs = Resampler(44100, 96000, 2.0, 180.15, 0, dtype=jnp.float32,
+                   precision=precision, fused=fused)
+    ss = ShardedStreamResampler(rs, mesh, seg_len=2048)
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((4, 2 * ss.block)).astype(np.float32)
+    out_len = rs.default_out_len(x.shape[1])
+    y = _stream_all(ss, x, out_len)
+    ref = np.asarray(rs.oneshot(x, out_len), dtype=np.float64)
+    d = rms_db(y - ref)
+    assert d < -125.0, d
+
+
+def test_sharded_stream_downsample_hb_chain():
+    """Multi-stage chain (HB downsamplers + conv + frac) under time
+    sharding."""
+    mesh = _mesh((2, 4), ("ch", "t"))
+    rs = Resampler(96000, 44100, 2.0, 180.15, 0, dtype=jnp.float64)
+    ss = ShardedStreamResampler(rs, mesh, seg_len=2048)
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 2 * ss.block))
+    out_len = rs.default_out_len(x.shape[1])
+    y = _stream_all(ss, x, out_len)
+    ref = np.asarray(rs.oneshot(x, out_len))
+    assert rms_db(y - ref) < -280.0
+
+
+def test_sharded_stream_checkpoint_resume():
+    """Carry state serializes and restores mid-stream (elastic restart)."""
+    mesh = _mesh((2, 4), ("ch", "t"))
+    rs = Resampler(44100, 96000, 2.0, 160.0, 0, dtype=jnp.float64)
+    ss = ShardedStreamResampler(rs, mesh, seg_len=2048)
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((2, 3 * ss.block))
+    y0 = np.asarray(ss.process_block(x[:, : ss.block]))
+    st = ss.get_state()
+    y1 = np.asarray(ss.process_block(x[:, ss.block : 2 * ss.block]))
+
+    ss2 = ShardedStreamResampler(rs, mesh, seg_len=2048)
+    ss2.set_state(st)
+    y1b = np.asarray(ss2.process_block(x[:, ss.block : 2 * ss.block]))
+    assert np.array_equal(y1, y1b)
+
+
+def test_sharded_stream_rejects_poly_plan():
+    mesh = _mesh((2, 4), ("ch", "t"))
+    rs = Resampler(44100, 96001, 2.0, 160.0, 0, dtype=jnp.float64)
+    with pytest.raises(ValueError, match="whole-stepping"):
+        ShardedStreamResampler(rs, mesh)
+
+
+def test_sharded_stream_channel_padding():
+    """Channel counts not divisible by the ch axis are zero-padded and
+    trimmed."""
+    mesh = _mesh((2, 4), ("ch", "t"))
+    rs = Resampler(44100, 96000, 2.0, 160.0, 0, dtype=jnp.float64)
+    ss = ShardedStreamResampler(rs, mesh, seg_len=2048)
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((3, 2 * ss.block))  # 3 % 2 != 0
+    out_len = rs.default_out_len(x.shape[1])
+    y = _stream_all(ss, x, out_len)
+    ref = np.asarray(rs.oneshot(x, out_len))
+    assert y.shape == ref.shape
+    assert rms_db(y - ref) < -280.0
