@@ -5,11 +5,15 @@
  *
  * Usage: masstest <plan.blob> <n_samples> [seed]
  * Streams n_samples of noise in random-sized chunks, clears and repeats
- * once (state-reset coverage), prints a checksum.
+ * once (state-reset coverage), prints a checksum — then streams one
+ * steady-state timed pass in 8192-sample chunks and prints Mrops
+ * (1e-6 * input-samples / second, the bench/r8bfreesrc.cpp:140-141
+ * convention; single channel, single core).
  */
 
 #include "r8bt.h"
 
+#include <chrono>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -71,6 +75,29 @@ int main(int argc, char **argv) {
             for (long i = 0; i < m; ++i) checksum += out[i] * 1e-6;
             fed += c;
         }
+        r8bt_clear(h);
+    }
+
+    /* timed steady-state pass */
+    {
+        uint64_t s = seed + 99;
+        const long chunkLen = 8192;
+        std::vector<double> chunk((size_t)chunkLen);
+        for (long i = 0; i < chunkLen; ++i)
+            chunk[(size_t)i] =
+                (double)(lcg(s) >> 11) / 4503599627370496.0 - 1.0;
+        long total = n < 8 * chunkLen ? 8 * chunkLen : n;
+        double sink = 0.0;
+        auto t0 = std::chrono::steady_clock::now();
+        for (long fed = 0; fed < total; fed += chunkLen) {
+            double *out = nullptr;
+            long m = r8bt_process(h, chunk.data(), chunkLen, &out);
+            if (m > 0) sink += out[0] + out[m - 1];
+        }
+        auto t1 = std::chrono::steady_clock::now();
+        double dt = std::chrono::duration<double>(t1 - t0).count();
+        std::printf("mrops %.2f (%ld samples in %.3fs; sink %.3g)\n",
+                    1e-6 * (double)total / dt, total, dt, sink);
         r8bt_clear(h);
     }
     r8bt_delete(h);

@@ -78,10 +78,88 @@ class Hist {
             start += drop;
         }
     }
+    /* copy [i0, i0+n) into dst, zero-filling outside the kept range */
+    void copyRange(long i0, long n, double *dst) const {
+        for (long i = 0; i < n; ++i) {
+            long j = i0 + i - start;
+            dst[i] = (j < 0 || (size_t)j >= buf.size()) ? 0.0
+                                                        : buf[(size_t)j];
+        }
+    }
+    /* raw pointer to absolute index i0 when [i0, i0+n) is fully kept;
+     * nullptr near the stream-start/trim boundaries (callers fall back
+     * to the zero-filling at()) */
+    const double *raw(long i0, long n) const {
+        long j = i0 - start;
+        if (j < 0 || (size_t)(j + n) > buf.size()) return nullptr;
+        return buf.data() + j;
+    }
 
   private:
     std::vector<double> buf;
     long start = 0;
+};
+
+/* Iterative radix-2 complex FFT (split re/im, precomputed bit-reversal and
+ * per-stage twiddles).  Standard Cooley-Tukey; kept dependency-free — the
+ * TPU compute path uses XLA/Pallas FFTs, this backs only the host
+ * deployment engine's overlap-save convolver (the role the reference's
+ * bundled fft4g backend plays for its DLL, CDSPRealFFT.h:98-170). */
+class CFFT {
+  public:
+    void init(int N) {
+        n = N;
+        rev.assign((size_t)n, 0);
+        int lg = 0;
+        while ((1 << lg) < n) ++lg;
+        for (int i = 1; i < n; ++i)
+            rev[(size_t)i] = (rev[(size_t)(i >> 1)] >> 1)
+                             | ((i & 1) << (lg - 1));
+        wre.assign((size_t)(n / 2), 0.0);
+        wim.assign((size_t)(n / 2), 0.0);
+        for (int i = 0; i < n / 2; ++i) {
+            double a = -2.0 * 3.14159265358979323846 * i / n;
+            wre[(size_t)i] = std::cos(a);
+            wim[(size_t)i] = std::sin(a);
+        }
+    }
+    /* in-place; inv=true computes the UNSCALED inverse (scaling is folded
+     * into the kernel spectra by the caller) */
+    void run(double *re, double *im, bool inv) const {
+        for (int i = 0; i < n; ++i) {
+            int j = rev[(size_t)i];
+            if (i < j) {
+                std::swap(re[i], re[j]);
+                std::swap(im[i], im[j]);
+            }
+        }
+        for (int len = 2; len <= n; len <<= 1) {
+            int half = len >> 1;
+            int step = n / len;
+            for (int i = 0; i < n; i += len) {
+                const double *tr = wre.data();
+                const double *ti = wim.data();
+                for (int j = 0; j < half; ++j) {
+                    double twr = tr[(size_t)(j * step)];
+                    double twi = ti[(size_t)(j * step)];
+                    if (inv) twi = -twi;
+                    double ur = re[i + j], ui = im[i + j];
+                    double vr = re[i + j + half], vi = im[i + j + half];
+                    double xr = vr * twr - vi * twi;
+                    double xi = vr * twi + vi * twr;
+                    re[i + j] = ur + xr;
+                    im[i + j] = ui + xi;
+                    re[i + j + half] = ur - xr;
+                    im[i + j + half] = ui - xi;
+                }
+            }
+        }
+    }
+    int n = 0;
+
+  private:
+    std::vector<int> rev;
+    std::vector<double> wre, wim;
 };
 
 class Stage {
@@ -128,7 +206,17 @@ class Stage {
 };
 
 /* y[r] = sum_m k[m] u[r*down+off - m], u = zero-stuffed input
- * (polyphase evaluation; CDSPBlockConvolver content semantics). */
+ * (polyphase evaluation; CDSPBlockConvolver content semantics).
+ *
+ * Execution: per-phase blocked overlap-save FFT convolution on the input
+ * grid — the reference DLL's execution model (CDSPBlockConvolver.h:252-354)
+ * rather than an O(K)-per-sample loop.  The w stream (full-rate convolver
+ * output, t = m*up + ph) is produced block-by-block: one forward FFT of
+ * the input window, one spectrum multiply per phase, and one inverse FFT
+ * per PAIR of phases (pack w_ph0 + i*w_ph1 — both are real).  Blocks whose
+ * input window is complete are cached in a rolling w buffer; the head
+ * block (inputs still arriving) is computed transiently.  Tiny kernels
+ * keep the direct loop (FFT overhead dominates below ~48 taps/phase). */
 class ConvStage : public Stage {
   public:
     long up = 1, down = 1, off = 0, K = 0;
@@ -142,19 +230,192 @@ class ConvStage : public Stage {
         if (m <= 0) return 0;
         return ((m - 1) * down + off) / up + 1;
     }
-    long keepHist() const override { return K / up + down + 8; }
+    long keepHist() const override {
+        return Kx > 0 ? hop + Kx + 16 : K / up + down + 8;
+    }
+    void clear() override {
+        Stage::clear();
+        wc.clear();
+        wcT0 = 0;
+    }
     void emit(double *out, long n0, long n1) override {
+        if (Kx == 0) prepare();
+        if (nfft == 0) {  /* small kernel: direct polyphase loop */
+            for (long r = n0; r < n1; ++r) {
+                long t = r * down + off;
+                long phase = (long)(t % up);
+                long nhi = t / up;
+                double acc = 0.0;
+                for (long m = phase, j = 0; m < K; m += up, ++j)
+                    acc += k[(size_t)m] * hist.at(nhi - j);
+                out[r - n0] = acc;
+            }
+            return;
+        }
+        const long t_lo = n0 * down + off;
+        const long t_hi = (n1 - 1) * down + off;
+        /* drop cached w below t_lo (emission is monotonic) */
+        if (!wc.empty() && t_lo > wcT0) {
+            long drop = t_lo - wcT0;
+            if (drop >= (long)wc.size()) {
+                wc.clear();
+                wcT0 = t_lo;
+            } else {
+                wc.erase(wc.begin(), wc.begin() + drop);
+                wcT0 = t_lo;
+            }
+        }
+        if (wc.empty()) wcT0 = t_lo;
+        /* extend the cache with COMPLETE blocks (all inputs present) */
+        long wcEnd = wcT0 + (long)wc.size();
+        while (wcEnd <= t_hi) {
+            long b = wcEnd / (hop * up);
+            if ((b + 1) * hop - 1 >= nIn) break;  /* head block incomplete */
+            computeBlock(b);
+            long bt0 = b * hop * up;
+            long s0 = wcEnd - bt0;  /* skip already-cached prefix */
+            wc.insert(wc.end(), blk.begin() + s0, blk.end());
+            wcEnd = wcT0 + (long)wc.size();
+        }
+        long headB = -1;  /* transient block for the stream head */
+        if (wcEnd <= t_hi) {
+            headB = wcEnd / (hop * up);
+            computeBlock(headB);
+        }
         for (long r = n0; r < n1; ++r) {
             long t = r * down + off;
-            long phase = (long)(t % up);
-            long nhi = t / up;
-            double acc = 0.0;
-            /* taps k[phase + j*up] against x[nhi - j] */
-            for (long m = phase, j = 0; m < K; m += up, ++j)
-                acc += k[(size_t)m] * hist.at(nhi - j);
-            out[r - n0] = acc;
+            if (t < wcEnd) {
+                out[r - n0] = wc[(size_t)(t - wcT0)];
+            } else {
+                long b = t / (hop * up);
+                if (b != headB) {  /* emit range can cross one boundary */
+                    computeBlock(b);
+                    headB = b;
+                }
+                out[r - n0] = blk[(size_t)(t - b * hop * up)];
+            }
         }
     }
+
+  private:
+    void prepare() {
+        Kx = (K + up - 1) / up;
+        if (Kx < 48) { nfft = 0; return; }  /* direct path */
+        int nf = 256;
+        while (nf < 4 * (int)Kx) nf <<= 1;
+        nfft = nf;
+        hop = nfft - Kx + 1;
+        fft.init(nf);
+        fftHalf.init(nf / 2);
+        utwRe.assign((size_t)(nf / 2 + 1), 0.0);
+        utwIm.assign((size_t)(nf / 2 + 1), 0.0);
+        for (int i = 0; i <= nf / 2; ++i) {
+            double a = -2.0 * 3.14159265358979323846 * i / nf;
+            utwRe[(size_t)i] = std::cos(a);
+            utwIm[(size_t)i] = std::sin(a);
+        }
+        zre.assign((size_t)(nf / 2), 0.0);
+        zim.assign((size_t)(nf / 2), 0.0);
+        spRe.assign((size_t)up, {});
+        spIm.assign((size_t)up, {});
+        std::vector<double> re((size_t)nf), im((size_t)nf);
+        for (long ph = 0; ph < up; ++ph) {
+            std::fill(re.begin(), re.end(), 0.0);
+            std::fill(im.begin(), im.end(), 0.0);
+            for (long j = ph, i = 0; j < K; j += up, ++i)
+                re[(size_t)i] = k[(size_t)j] / nf;  /* fold 1/N here */
+            fft.run(re.data(), im.data(), false);
+            spRe[(size_t)ph] = re;
+            spIm[(size_t)ph] = im;
+        }
+        xre.assign((size_t)nf, 0.0);
+        xim.assign((size_t)nf, 0.0);
+        yre.assign((size_t)nf, 0.0);
+        yim.assign((size_t)nf, 0.0);
+        blk.assign((size_t)(hop * up), 0.0);
+    }
+
+    /* Forward FFT of the real input window via a half-size complex FFT
+     * (pack z[m] = x[2m] + i x[2m+1], untwiddle, unfold by conjugate
+     * symmetry) — ~45% cheaper than a full-size complex FFT of real
+     * data.  Results land in xre/xim as the full N-point spectrum. */
+    void realForward() {
+        const int h = nfft / 2;
+        for (int m = 0; m < h; ++m) {
+            zre[(size_t)m] = xre[(size_t)(2 * m)];
+            zim[(size_t)m] = xre[(size_t)(2 * m + 1)];
+        }
+        fftHalf.run(zre.data(), zim.data(), false);
+        /* X[k] = E[k] + w^k O[k], E = (Z[k]+conj(Z[h-k]))/2,
+         * O = (Z[k]-conj(Z[h-k]))/(2i), w = e^{-2pi i/N} */
+        for (int k = 1; k < h; ++k) {
+            int kc = h - k;
+            double zr = zre[(size_t)k], zi = zim[(size_t)k];
+            double cr = zre[(size_t)kc], ci = -zim[(size_t)kc];
+            double er = 0.5 * (zr + cr), ei = 0.5 * (zi + ci);
+            double orr = 0.5 * (zi - ci), oi = -0.5 * (zr - cr);
+            double twr = utwRe[(size_t)k], twi = utwIm[(size_t)k];
+            xre[(size_t)k] = er + orr * twr - oi * twi;
+            xim[(size_t)k] = ei + orr * twi + oi * twr;
+        }
+        xre[0] = zre[0] + zim[0];
+        xim[0] = 0.0;
+        xre[(size_t)h] = zre[0] - zim[0];  /* Nyquist */
+        xim[(size_t)h] = 0.0;
+        for (int k = 1; k < h; ++k) {  /* conjugate upper half */
+            xre[(size_t)(nfft - k)] = xre[(size_t)k];
+            xim[(size_t)(nfft - k)] = -xim[(size_t)k];
+        }
+    }
+
+    /* fill blk[] with w[t] for t in [b*hop*up, (b*hop+hop)*up) */
+    void computeBlock(long b) {
+        const int nf = nfft;
+        hist.copyRange(b * hop - (Kx - 1), nf, xre.data());
+        realForward();
+        for (long ph = 0; ph < up; ph += 2) {
+            const double *k0r = spRe[(size_t)ph].data();
+            const double *k0i = spIm[(size_t)ph].data();
+            const bool pair = ph + 1 < up;
+            const double *k1r = pair ? spRe[(size_t)(ph + 1)].data()
+                                     : nullptr;
+            const double *k1i = pair ? spIm[(size_t)(ph + 1)].data()
+                                     : nullptr;
+            for (int i = 0; i < nf; ++i) {
+                double ar = xre[(size_t)i] * k0r[i]
+                            - xim[(size_t)i] * k0i[i];
+                double ai = xre[(size_t)i] * k0i[i]
+                            + xim[(size_t)i] * k0r[i];
+                if (pair) {  /* Z = A + i*B: Re->w_ph, Im->w_ph1 */
+                    double br = xre[(size_t)i] * k1r[i]
+                                - xim[(size_t)i] * k1i[i];
+                    double bi = xre[(size_t)i] * k1i[i]
+                                + xim[(size_t)i] * k1r[i];
+                    yre[(size_t)i] = ar - bi;
+                    yim[(size_t)i] = ai + br;
+                } else {
+                    yre[(size_t)i] = ar;
+                    yim[(size_t)i] = ai;
+                }
+            }
+            fft.run(yre.data(), yim.data(), true);
+            for (long m = 0; m < hop; ++m) {
+                long j = m + Kx - 1;
+                blk[(size_t)(m * up + ph)] = yre[(size_t)j];
+                if (pair) blk[(size_t)(m * up + ph + 1)] = yim[(size_t)j];
+            }
+        }
+    }
+
+    long Kx = 0;
+    int nfft = 0;
+    long hop = 0;
+    CFFT fft, fftHalf;
+    std::vector<std::vector<double>> spRe, spIm;
+    std::vector<double> xre, xim, yre, yim, blk;
+    std::vector<double> zre, zim, utwRe, utwIm;
+    std::vector<double> wc;  /* cached w stream, absolute t = wcT0.. */
+    long wcT0 = 0;
 };
 
 /* y[2n] = x[n]; y[2n+1] = sum taps[i]*(x[n+1+i]+x[n-i]); drop outLat. */
@@ -247,9 +508,14 @@ class FracWholeStage : public Stage {
             long s = g / outStep;
             long f = g % outStep;
             const double *flt = &table[(size_t)(f * fl)];
+            const double *w = hist.raw(s - fll, fl);
             double acc = 0.0;
-            for (long i = 0; i < fl; ++i)
-                acc += flt[i] * hist.at(s - fll + i);
+            if (w) {
+                for (long i = 0; i < fl; ++i) acc += flt[i] * w[i];
+            } else {
+                for (long i = 0; i < fl; ++i)
+                    acc += flt[i] * hist.at(s - fll + i);
+            }
             out[n - n0] = acc;
         }
     }
