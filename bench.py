@@ -1,4 +1,4 @@
-"""Headline benchmark: batched 44.1 kHz -> 96 kHz, 24-bit preset.
+"""Headline benchmark: batched sample-rate conversion throughput on chip.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "Mrops", "vs_baseline": N/38}
@@ -8,9 +8,22 @@ Mrops = 1e-6 * input-samples * channels / second of wall time, steady-state
 (compile excluded).  Baseline = 38 Mrops: CDSPResampler24 44100->96000 on one
 Ryzen 3700X core with the default Ooura FFT (README.md:111-116).
 
-Env knobs: R8B_BENCH_CHANNELS (default 1024), R8B_BENCH_SECONDS (1.0),
-R8B_BENCH_ITERS (10), R8B_BENCH_DTYPE (float32), R8B_BENCH_PRECISION
-(fast).
+Env knobs (defaults in parens):
+  R8B_BENCH_CHANNELS (1024)   R8B_BENCH_SECONDS (1.0)  R8B_BENCH_ITERS (10)
+  R8B_BENCH_DTYPE (float32)   R8B_BENCH_PRECISION (fast)
+  R8B_BENCH_SRC (44100)       R8B_BENCH_DST (96000)
+  R8B_BENCH_ATTEN (180.15)    R8B_BENCH_TB (2.0)
+  R8B_BENCH_ENGINE (auto)     — conv_engine: toeplitz/fft/pallas/pallas_fft/
+                                pallas_fft4/...
+  R8B_BENCH_FUSED (auto)      — auto/1/0
+  R8B_BENCH_METRIC (derived)  — override the metric name
+  R8B_BENCH_PROFILE           — directory for a jax.profiler trace
+
+Timing over the remote-TPU tunnel: per-iteration host syncs measure
+round-trip latency and block_until_ready can acknowledge early, so the
+iteration loop runs ON DEVICE inside one jitted fori_loop, each iteration
+data-dependent on the previous checksum, with one scalar fetched at the
+end; a 1-iteration call is subtracted to remove dispatch.
 """
 
 import json
@@ -27,31 +40,30 @@ def main():
     iters = int(os.environ.get("R8B_BENCH_ITERS", "10"))
     dtype = os.environ.get("R8B_BENCH_DTYPE", "float32")
     precision = os.environ.get("R8B_BENCH_PRECISION", "fast")
+    src = float(os.environ.get("R8B_BENCH_SRC", "44100"))
+    dst = float(os.environ.get("R8B_BENCH_DST", "96000"))
+    atten = float(os.environ.get("R8B_BENCH_ATTEN", "180.15"))
+    tb = float(os.environ.get("R8B_BENCH_TB", "2.0"))
+    engine = os.environ.get("R8B_BENCH_ENGINE", "auto")
+    fused_env = os.environ.get("R8B_BENCH_FUSED", "auto")
+    fused = {"auto": "auto", "1": True, "0": False}[fused_env]
 
     import jax
 
     from r8brain_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    import jax.numpy as jnp
+    import jax.numpy as jnp  # noqa: F401
 
-    from r8brain_tpu.models.resampler import Resampler24
-
-    n_in = int(44100 * seconds)
     from r8brain_tpu.models.resampler import Resampler
 
-    rs = Resampler(44100, 96000, 2.0, 180.15, 0, dtype=dtype,
-                   precision=precision)
+    n_in = int(src * seconds)
+    rs = Resampler(src, dst, tb, atten, 0, dtype=dtype,
+                   precision=precision, fused=fused, conv_engine=engine)
     rng = np.random.default_rng(0)
     x0 = jax.device_put(jnp.asarray(
         rng.standard_normal((channels, n_in)) * 0.5, dtype=dtype))
 
-    # Timing over the remote-TPU tunnel: per-iteration host syncs measure
-    # round-trip latency, and plain block_until_ready can acknowledge before
-    # real completion.  Instead the iteration loop runs ON DEVICE inside one
-    # jitted fori_loop, each iteration data-dependent on the previous
-    # checksum (so nothing can be elided or overlapped), with a single
-    # scalar fetched at the end.
     chain = rs._chain
 
     @jax.jit
@@ -81,9 +93,17 @@ def main():
             float(run(x0, 2))
 
     mrops = 1e-6 * channels * n_in / dt
+    metric = os.environ.get("R8B_BENCH_METRIC")
+    if not metric:
+        if (src, dst) == (44100.0, 96000.0):
+            cfg = "44k_to_96k"  # driver-tracked headline name (round 1)
+        else:
+            cfg = f"{src:g}_to_{dst:g}".replace(".", "p")
+        metric = f"resample_{cfg}_24bit_throughput"
+        if precision != "fast":
+            metric = f"resample_{cfg}_24bit_hp_throughput"
     print(json.dumps({
-        "metric": "resample_44k_to_96k_24bit_throughput"
-        if precision == "fast" else "resample_44k_to_96k_24bit_hp_throughput",
+        "metric": metric,
         "value": round(mrops, 1),
         "unit": "Mrops",
         "vs_baseline": round(mrops / 38.0, 2),

@@ -81,7 +81,7 @@ class Resampler:
         if fused:
             from ..ops.fused import fuse_stage_list
             self.execs = fuse_stage_list(self.plan, self.dtype, precision,
-                                         bld)
+                                         bld, engine=conv_engine)
         if self.execs is None:
             self.execs = [bld(s, self.dtype, precision)
                           for s in self.plan.stages]

@@ -68,8 +68,10 @@ class _PeriodStream:
             sub = Plan(rs.plan.src_rate, rs.plan.dst_rate,
                        rs.plan.trans_band, rs.plan.atten, rs.plan.phase,
                        tuple(stages), rs.plan.latency_frac)
-            execs = (fuse_stage_list(sub, rs.dtype, rs.precision,
-                                     bld) if fused_parent else None)
+            execs = (fuse_stage_list(sub, rs.dtype, rs.precision, bld,
+                                     engine=getattr(rs, "conv_engine",
+                                                    "auto"))
+                     if fused_parent else None)
             self.execs = execs if execs is not None else \
                 [bld(s, rs.dtype, rs.precision) for s in stages]
         self.stages = stages

@@ -52,7 +52,8 @@ def can_fuse(plan: Plan) -> bool:
     return len(s) == 2 and _pair_fusable(s[0], s[1])
 
 
-def fuse_stage_list(plan: Plan, dtype, precision, build_exec):
+def fuse_stage_list(plan: Plan, dtype, precision, build_exec,
+                    engine: str = "auto"):
     """Executor list for the plan with every adjacent [conv(up, down=1),
     whole-frac] pair replaced by a FusedUpExec.  Mid-chain pairs are valid:
     a pair's input stream starts at absolute zero of ITS input (upstream
@@ -68,7 +69,7 @@ def fuse_stage_list(plan: Plan, dtype, precision, build_exec):
                        plan.atten, plan.phase,
                        (stages[i], stages[i + 1]),
                        stages[i + 1].latency_frac_out)
-            execs.append(FusedUpExec(sub, dtype, precision))
+            execs.append(FusedUpExec(sub, dtype, precision, engine=engine))
             fused_any = True
             i += 2
         else:
@@ -79,8 +80,11 @@ def fuse_stage_list(plan: Plan, dtype, precision, build_exec):
 
 class FusedUpExec:
     def __init__(self, plan: Plan, dtype=jnp.float32,
-                 precision: str = "fast"):
+                 precision: str = "fast", engine: str = "auto"):
         assert can_fuse(plan)
+        # "auto"/"matmul": segmented-view framed matmul (XLA);  "pallas":
+        # VMEM-resident kernel via the adaptive-Q tiling (any stride)
+        self.engine = "matmul" if engine in ("auto", "toeplitz") else engine
         conv: ConvStage = plan.stages[0]
         frac: FracStage = plan.stages[1]
         self.plan = plan
@@ -218,12 +222,33 @@ class FusedUpExec:
         xp = jnp.pad(x, ((0, 0), (self.pad_l, pad_r)))
         xp = xp[:, self.a0 + self.pad_l :]
         skT = jnp.asarray(self.skT)
-        out = _framed_matmul(xp, skT, n_cyc, p_in)
-        if self.precision == "high":
-            out = out + _framed_matmul(xp, jnp.asarray(self.skT_lo),
-                                       n_cyc, p_in,
-                                       precision=RESIDUAL_PRECISION)
-        y = out.reshape(C_, n_cyc * p_out)
+        y = None
+        if self.engine == "pallas":
+            from .pallas_frac import choose_tiles, frac_whole_pallas
+            Q, CT = choose_tiles(p_in, self.D, p_out, C_)
+            if CT:
+                n_blocks = -(-n_cyc // Q)
+                span_need = (n_blocks * Q - 1) * p_in + self.D
+                if xp.shape[1] < span_need:
+                    xp2 = jnp.pad(xp, ((0, 0),
+                                       (0, span_need - xp.shape[1])))
+                else:
+                    xp2 = xp
+                lo = (jnp.asarray(self.skT_lo)
+                      if self.precision == "high" else None)
+                y = frac_whole_pallas(xp2, skT, Q, p_in, self.D, p_out,
+                                      CT=CT, skT_lo=lo)[:, : n_cyc * p_out]
+            else:
+                from ..utils.trace import trace
+                trace("fused_pallas_fallback", C=C_, stride=p_in,
+                      fallback="matmul")
+        if y is None:
+            out = _framed_matmul(xp, skT, n_cyc, p_in)
+            if self.precision == "high":
+                out = out + _framed_matmul(xp, jnp.asarray(self.skT_lo),
+                                           n_cyc, p_in,
+                                           precision=RESIDUAL_PRECISION)
+            y = out.reshape(C_, n_cyc * p_out)
         if self.corr_js is not None:
             qw = self.corr.shape[1]
             xw = x[:, :qw]

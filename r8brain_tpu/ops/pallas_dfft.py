@@ -212,14 +212,18 @@ def _make_kernel(plan: DfFFTConvPlan, T: int):
             v_im = _df_sub(im_up, s_im)
         return (_sel(mask, u_re, v_re), _sel(mask, u_im, v_im))
 
-    def kernel(x_ref, masks_ref, twf_ref, twi_ref, h_ref, o_ref):
-        # x_ref: [T, rows, 128] f32 real frames
+    def kernel(x_ref, masks_ref, twf_ref, twi_ref, h_ref, o_ref,
+               xi_ref=None, oi_ref=None):
+        # x_ref: [T, rows, 128] f32 real frames (or the EVEN frames of a
+        # real-packed pair when xi_ref/oi_ref are provided: convolution by
+        # a fixed real kernel commutes with z = x_even + i*x_odd, so two
+        # frames ride one complex FFT with no spectral pack/unpack)
         # masks_ref: [bits, rows, 128]; twf/twi_ref: [4, bits, rows, 128]
         # h_ref: [4, rows, 128]; o_ref: [T, rows, 128]
         x = x_ref[:]
         z = jnp.zeros_like(x)
         re = (x, z)
-        im = (z, z)
+        im = (xi_ref[:], z) if xi_ref is not None else (z, z)
 
         def cst(ref, comp, s):
             v = ref[comp, s][None]  # [1, rows, 128] broadcasts over T
@@ -249,24 +253,31 @@ def _make_kernel(plan: DfFFTConvPlan, T: int):
         s0, e0 = _two_sum(re[0], re[1])
         del e0
         o_ref[:] = s0
+        if oi_ref is not None:
+            s1, e1 = _two_sum(im[0], im[1])
+            del e1
+            oi_ref[:] = s1
 
-    return kernel
+    def kernel_packed(xr_ref, xi_ref, masks_ref, twf_ref, twi_ref, h_ref,
+                      or_ref, oi_ref):
+        return kernel(xr_ref, masks_ref, twf_ref, twi_ref, h_ref, or_ref,
+                      xi_ref=xi_ref, oi_ref=oi_ref)
+
+    return kernel, kernel_packed
 
 
 def df_ols_convolve_pallas(frames: jnp.ndarray, plan: DfFFTConvPlan,
-                           T: int = 8, interpret: bool = False
-                           ) -> jnp.ndarray:
+                           T: int = 8, interpret: bool = False,
+                           pack: bool = True) -> jnp.ndarray:
     """frames: [..., F, N] f32 -> circular convolution with the plan's
-    kernel spectrum, [..., F, N] f32 (hi part of the df result)."""
+    kernel spectrum, [..., F, N] f32 (hi part of the df result).
+
+    pack=True (default): real-pack two frames per complex FFT (2x fewer
+    kernel invocations, numerically identical butterfly path)."""
     lead = frames.shape[:-1]
     N = frames.shape[-1]
     assert N == plan.n
     total = int(np.prod(lead)) if lead else 1
-    x = frames.reshape(total, plan.rows, LANES)
-    pad = (-total) % T
-    if pad:
-        x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
-    n_cells = x.shape[0] // T
 
     masks = jnp.asarray(plan.masks)
     twf = jnp.asarray(np.stack([plan.twf_re_hi, plan.twf_re_lo,
@@ -275,20 +286,58 @@ def df_ols_convolve_pallas(frames: jnp.ndarray, plan: DfFFTConvPlan,
                                 plan.twi_im_hi, plan.twi_im_lo]))
     h = jnp.asarray(np.stack([plan.h_re_hi, plan.h_re_lo,
                               plan.h_im_hi, plan.h_im_lo]))
+    kernel, kernel_packed = _make_kernel(plan, T)
+    blk = (T, plan.rows, LANES)
 
-    kernel = _make_kernel(plan, T)
+    if pack:
+        x = frames.reshape(total, N)
+        pad = (-total) % (2 * T)
+        if pad:
+            x = jnp.pad(x, ((0, pad), (0, 0)))
+        tp = x.shape[0]
+        xr = x[0::2].reshape(tp // 2, plan.rows, LANES)
+        xi = x[1::2].reshape(tp // 2, plan.rows, LANES)
+        n_cells = (tp // 2) // T
+        out_r, out_i = pl.pallas_call(
+            kernel_packed,
+            out_shape=[jax.ShapeDtypeStruct(xr.shape, jnp.float32),
+                       jax.ShapeDtypeStruct(xi.shape, jnp.float32)],
+            grid=(n_cells,),
+            in_specs=[
+                pl.BlockSpec(blk, lambda c: (c, 0, 0)),
+                pl.BlockSpec(blk, lambda c: (c, 0, 0)),
+                pl.BlockSpec(masks.shape, lambda c: (0, 0, 0)),
+                pl.BlockSpec(twf.shape, lambda c: (0, 0, 0, 0)),
+                pl.BlockSpec(twi.shape, lambda c: (0, 0, 0, 0)),
+                pl.BlockSpec(h.shape, lambda c: (0, 0, 0)),
+            ],
+            out_specs=[pl.BlockSpec(blk, lambda c: (c, 0, 0)),
+                       pl.BlockSpec(blk, lambda c: (c, 0, 0))],
+            interpret=interpret,
+        )(xr, xi, masks, twf, twi, h)
+        y = jnp.stack([out_r.reshape(tp // 2, N),
+                       out_i.reshape(tp // 2, N)], axis=1).reshape(tp, N)
+        if pad:
+            y = y[:total]
+        return y.reshape(*lead, N)
+
+    x = frames.reshape(total, plan.rows, LANES)
+    pad = (-total) % T
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+    n_cells = x.shape[0] // T
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(x.shape, jnp.float32),
         grid=(n_cells,),
         in_specs=[
-            pl.BlockSpec((T, plan.rows, LANES), lambda c: (c, 0, 0)),
+            pl.BlockSpec(blk, lambda c: (c, 0, 0)),
             pl.BlockSpec(masks.shape, lambda c: (0, 0, 0)),
             pl.BlockSpec(twf.shape, lambda c: (0, 0, 0, 0)),
             pl.BlockSpec(twi.shape, lambda c: (0, 0, 0, 0)),
             pl.BlockSpec(h.shape, lambda c: (0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((T, plan.rows, LANES), lambda c: (c, 0, 0)),
+        out_specs=pl.BlockSpec(blk, lambda c: (c, 0, 0)),
         interpret=interpret,
     )(x, masks, twf, twi, h)
     if pad:

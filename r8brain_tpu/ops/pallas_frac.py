@@ -27,7 +27,31 @@ try:
 except Exception:  # pragma: no cover
     HAVE_PALLAS = False
 
-__all__ = ["HAVE_PALLAS", "frac_whole_pallas"]
+__all__ = ["HAVE_PALLAS", "frac_whole_pallas", "choose_tiles"]
+
+
+def choose_tiles(I: int, D: int, O: int, C: int,
+                 vmem_budget: int = 24 * 1024 * 1024):
+    """(Q, CT) for frac_whole_pallas, or (0, 0) when infeasible.
+
+    Q (windows per grid cell) is the smallest multiple of
+    128/gcd(I, 128) — making the per-cell start Q*I lane-aligned for ANY
+    stride I (the round-1 kernel fixed Q=8 and so only ran for
+    128-aligned strides); CT is the largest channel tile fitting the
+    input span + output tile + bank in the VMEM budget.
+    """
+    import math
+    q0 = 128 // math.gcd(I, 128)
+    Q = q0 * max(1, -(-8 // q0))  # at least ~8 windows per DMA
+    span = (Q - 1) * I + D
+    S = -(-(span + 127) // 128) * 128
+    for CT in (128, 64, 32, 16, 8):
+        if C % CT:
+            continue
+        vmem = 4 * (CT * S + CT * Q * O + D * O)
+        if vmem <= vmem_budget:
+            return Q, CT
+    return 0, 0
 
 
 def _make_kernel(Q: int, I: int, D: int, O: int, CT: int, has_lo: bool):

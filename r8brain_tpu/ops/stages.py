@@ -158,8 +158,8 @@ class ConvExec:
         self.engine = engine
         k = np.asarray(spec.filt.kernel, dtype=np.float64)
         self.K = k.shape[0]
-        if engine == "pallas_fft":
-            # the VMEM-resident df32-FFT kernel shares the fft framing
+        if engine in ("pallas_fft", "pallas_fft4"):
+            # the VMEM-resident df32-FFT kernels share the fft framing
             self.precision = "high"
         elif engine in ("direct", "toeplitz", "pallas"):
             self._build_direct(k)
@@ -186,6 +186,9 @@ class ConvExec:
             if engine == "pallas_fft":
                 from .pallas_dfft import DfFFTConvPlan
                 self.dfft_plan = DfFFTConvPlan(nfft, Hfull)
+            elif engine == "pallas_fft4":
+                from .pallas_dfft4 import DfFFTConvPlan4
+                self.dfft_plan = DfFFTConvPlan4(nfft, Hfull)
             else:
                 from .dfft import DfFFT
                 self.H_re = np.ascontiguousarray(Hfull.real)
@@ -306,15 +309,12 @@ class ConvExec:
         self.Lf_pallas = L_f
 
     def _apply_pallas(self, x: jnp.ndarray, M: int) -> jnp.ndarray:
-        from .pallas_frac import frac_whole_pallas
+        from .pallas_frac import choose_tiles, frac_whole_pallas
         spec = self.spec
         C, N = x.shape
         up, down = spec.up, spec.down
         B, L_f = self.B_pallas, self.Lf_pallas
-        Q = 8
-        CT = 128 if C % 128 == 0 else (8 if C % 8 == 0 else 0)
-        if (B * down * Q) % 128 != 0:
-            CT = 0  # Mosaic: unaligned cell stride unsupported on hardware
+        Q, CT = choose_tiles(B * down, L_f, B * up, C)
         if CT == 0:
             from ..utils.trace import trace
             trace("conv_pallas_fallback", reason="channel-tile/stride "
@@ -439,6 +439,9 @@ class ConvExec:
         if self.engine == "pallas_fft":
             from .pallas_dfft import df_ols_convolve_pallas
             W = df_ols_convolve_pallas(frames, self.dfft_plan)
+        elif self.engine == "pallas_fft4":
+            from .pallas_dfft4 import df_ols_convolve_pallas4
+            W = df_ols_convolve_pallas4(frames, self.dfft_plan)
         elif self.precision == "high":
             from .dfft import df_ols_convolve
             W = df_ols_convolve(frames, self.H_re, self.H_im, self.dfft_plan)
@@ -593,13 +596,10 @@ class FracWholeExec:
         start = self.a0 + self.pad_l
         xp = xp[:, start:]
         if self.engine == "pallas":
-            from .pallas_frac import frac_whole_pallas
-            Q = 8
-            CT = 128 if C % 128 == 0 else (8 if C % 8 == 0 else 0)
-            if (Q * I) % 128 != 0:
-                # Mosaic rejects dynamic unaligned VMEM vector loads; the
-                # unaligned-stride case only works in interpreter mode
-                CT = 0
+            from .pallas_frac import choose_tiles, frac_whole_pallas
+            # adaptive Q makes ANY stride lane-aligned (Q*I % 128 == 0);
+            # CT=0 only when channels don't tile or VMEM would overflow
+            Q, CT = choose_tiles(I, self.D, O, C)
             if CT:
                 n_blocks = -(-n_cyc // Q)
                 span_need = (n_blocks * Q - 1) * I + self.D
@@ -646,15 +646,28 @@ class FracWholeExec:
 
 
 class FracPolyExec:
-    """Polynomial-mode fractional interpolator (gather + fused spline eval).
+    """Polynomial-mode fractional interpolator.
 
-    Host computes exact f64 read positions (data-independent); device gathers
-    the 3-coefficient spline rows and evaluates
-        flt_i = c0_i + c1_i*t + c2_i*t^2;  y = sum_i flt_i * window_i
-    as fl shifted multiply-adds (no [C, M, fl] materialization).
+    Host computes exact f64 read positions (data-independent); the spline
+    filter for output n is  flt_n = c0[f_n] + c1[f_n]*t_n + c2[f_n]*t_n^2
+    (CDSPFracInterpolator.h:1069-1179 convolve2).  Engines:
+
+    * "banded" (f32 default) — MXU formulation with NO data gather: pick a
+      rational convergent S/G of the resample ratio (G outputs advance the
+      read position by almost exactly S inputs); frames of width W at the
+      UNIFORM stride S are pure reshape views of the input (same segmented-
+      einsum trick as _framed_matmul), and each group's outputs become one
+      [W] x [W, G] matmul against a banded operator R_m holding flt_n at
+      the group-local offset.  The offsets drift by |G*r - S| per group, so
+      work is chunked to a drift budget and R is (re)built ON DEVICE from
+      small host index arrays by fl one-hot accumulations — no [M, W]
+      host-side operator literal, no [C, M, fl] gather.
+    * "gather" (f64 / reference) — per-tap jnp.take with fused polynomial
+      evaluation; bit-matches the oracle's summation order.
     """
 
-    def __init__(self, spec: FracStage, dtype=jnp.float32):
+    def __init__(self, spec: FracStage, dtype=jnp.float32,
+                 engine: str = "auto"):
         assert not spec.is_whole
         self.spec = spec
         self.dtype = jnp.dtype(dtype)
@@ -665,6 +678,34 @@ class FracPolyExec:
         self.fracs = spec.bank.fracs
         self.fl = spec.filter_len
         self.fll = self.fl // 2 - 1
+        if engine == "auto":
+            engine = "banded" if self.dtype == jnp.float32 else "gather"
+        self.engine = engine
+        if engine == "banded":
+            self._prep_banded()
+
+    def _prep_banded(self, g_max: int = 160):
+        """Best rational convergent S/G (G <= g_max) of the per-output
+        input advance r = src/dst, and the per-chunk drift budget."""
+        from fractions import Fraction
+        r = self.spec.src_rate / self.spec.dst_rate
+        fr = Fraction(r).limit_denominator(g_max)
+        if fr.denominator >= 8:
+            # scale the convergent toward G ~ 128 (bigger matmul columns)
+            k = max(1, min(g_max // fr.denominator,
+                           -(-128 // fr.denominator)))
+            self.G = fr.denominator * k
+            self.S = fr.numerator * k
+        else:
+            self.G = 128
+            self.S = int(round(128 * r))
+        self.drift = abs(self.G * r - self.S)
+        self.slack = 6
+        # groups per chunk: group-local offsets stay within [0, slack)
+        self.ngrp_max = max(8, int(self.slack / max(self.drift, 1e-12)))
+        # frame width: G outputs span ~S inputs + filter + drift slack
+        W = self.S + self.fl + self.slack + 2
+        self.W = -(-W // 8) * 8  # sublane-friendly
 
     def out_len(self, n_in: int) -> int:
         return stage_out_len(self.spec, n_in)
@@ -691,6 +732,8 @@ class FracPolyExec:
         if M <= 0:
             return jnp.zeros((C, 0), dtype=self.dtype)
         start_np, fti_np, t_np = self.host_positions(M)
+        if self.engine == "banded":
+            return self._apply_banded(x, N, M, start_np, fti_np, t_np)
         pad_l = max(0, -int(start_np.min()))
         pad_r = max(0, int(start_np.max()) + self.fl - N)
         xp = jnp.pad(x.astype(self.dtype), ((0, 0), (pad_l, pad_r)))
@@ -706,6 +749,94 @@ class FracPolyExec:
             y = y + flt[None, :, i] * jnp.take(xp, start + i, axis=1)
         return y
 
+    def _apply_banded(self, x, N, M, start_np, fti_np, t_np):
+        C = x.shape[0]
+        G, S, W, fl = self.G, self.S, self.W, self.fl
+        n_grp = -(-M // G)
+        Mp = n_grp * G
+        if Mp > M:  # edge-extend positions; surplus outputs sliced off
+            ext = Mp - M
+            start_np = np.concatenate([start_np,
+                                       np.repeat(start_np[-1], ext)])
+            fti_np = np.concatenate([fti_np, np.repeat(fti_np[-1], ext)])
+            t_np = np.concatenate([t_np, np.repeat(t_np[-1], ext)])
+        pad_l = max(0, -int(start_np.min()))
+        sg = (start_np + pad_l).reshape(n_grp, G)  # window starts per group
+
+        # chunk groups so group-local offsets stay bounded by the drift
+        chunks = []  # (g0, nloc, A, off[nloc, G])
+        need_len = 0
+        g0 = 0
+        while g0 < n_grp:
+            nloc = min(self.ngrp_max, n_grp - g0)
+            m = np.arange(nloc)
+            base0 = sg[g0 : g0 + nloc, 0] - m * S
+            A = int(base0.min())
+            off = sg[g0 : g0 + nloc] - (A + m * S)[:, None]
+            assert off.min() >= 0
+            while off.max() + fl > W:  # drift exceeded budget: split
+                nloc //= 2
+                m = np.arange(nloc)
+                base0 = sg[g0 : g0 + nloc, 0] - m * S
+                A = int(base0.min())
+                off = sg[g0 : g0 + nloc] - (A + m * S)[:, None]
+            chunks.append((g0, nloc, A, off.astype(np.int32)))
+            need_len = max(need_len, A + (nloc - 1) * S + W)
+            g0 += nloc
+
+        # a chunk base can dip below 0 (negative drift pulls base0 under
+        # the earliest window start); shift the padding so every frame
+        # slice is in-bounds — a negative A would silently slice from the
+        # array END
+        min_a = min(a for _, _, a, _ in chunks)
+        if min_a < 0:
+            shift = -min_a
+            pad_l += shift
+            need_len += shift
+            chunks = [(g0_, nloc_, a_ + shift, off_)
+                      for g0_, nloc_, a_, off_ in chunks]
+
+        pad_r = max(0, need_len - (N + pad_l))
+        xp = jnp.pad(x.astype(self.dtype), ((0, 0), (pad_l, pad_r)))
+        c0t = jnp.asarray(self.c0)
+        c1t = jnp.asarray(self.c1)
+        c2t = jnp.asarray(self.c2)
+        iota_w = jnp.arange(W, dtype=jnp.int32)
+        fti2 = fti_np.reshape(n_grp, G)
+        t2 = t_np.reshape(n_grp, G)
+        outs = []
+        for g0, nloc, A, off in chunks:
+            fti_c = jnp.asarray(fti2[g0 : g0 + nloc])
+            t_c = jnp.asarray(t2[g0 : g0 + nloc])[..., None]
+            flt = c0t[fti_c] + (c1t[fti_c] + c2t[fti_c] * t_c) * t_c
+            off_d = jnp.asarray(off)  # [nloc, G]
+            # banded operator R[m, w, g]: flt rows one-hot-placed at off
+            R = jnp.zeros((nloc, G, W), dtype=self.dtype)
+            for i in range(fl):
+                R = R + flt[..., i : i + 1] * (
+                    iota_w[None, None, :] == (off_d + i)[..., None])
+            R = jnp.swapaxes(R, 1, 2)  # [nloc, W, G]
+            # frames at UNIFORM stride S from reshape views (no gather)
+            xc = xp[:, A:]
+            n_seg = -(-W // S)
+            total = (nloc + n_seg) * S
+            if xc.shape[1] < total:
+                xc = jnp.pad(xc, ((0, 0), (0, total - xc.shape[1])))
+            else:
+                xc = xc[:, :total]
+            ch3 = xc.reshape(C, nloc + n_seg, S)
+            o = None
+            for e in range(n_seg):
+                w_e = min(S, W - e * S)
+                seg = ch3[:, e : nloc + e, :w_e]
+                Re = R[:, e * S : e * S + w_e, :]
+                oe = jnp.einsum("cml,mlg->cmg", seg, Re,
+                                precision=jax.lax.Precision.HIGHEST)
+                o = oe if o is None else o + oe
+            outs.append(o.reshape(C, nloc * G))
+        y = jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
+        return y[:, :M]
+
 
 def build_exec(spec: Stage, dtype=jnp.float32, precision: str = "fast",
                conv_engine: str = "auto", frac_engine: str = "auto"):
@@ -719,5 +850,7 @@ def build_exec(spec: Stage, dtype=jnp.float32, precision: str = "fast",
         if spec.is_whole:
             return FracWholeExec(spec, dtype, precision=precision,
                                  engine=frac_engine)
-        return FracPolyExec(spec, dtype)
+        poly_engine = frac_engine if frac_engine in ("auto", "banded",
+                                                     "gather") else "auto"
+        return FracPolyExec(spec, dtype, engine=poly_engine)
     raise TypeError(spec)

@@ -71,21 +71,44 @@ def test_conv_engine_pallas(_interpret_pallas):
     assert d < -120.0, d
 
 
-def test_frac_engine_pallas_falls_back_unaligned():
-    """FracWholeExec(engine='pallas') with an unaligned stride must fall
-    back to the im2col engine (hardware-safe) and stay exact."""
+def test_frac_engine_pallas_unaligned_stride(_interpret_pallas):
+    """FracWholeExec(engine='pallas') with in_step 147 (no 128 factor)
+    runs the kernel via the adaptive-Q tiling (Q = 128/gcd(I, 128) makes
+    every cell start lane-aligned) and stays exact vs the oracle —
+    round 1 could only fall back to im2col here (VERDICT weak #4)."""
+    from r8brain_tpu.ops.pallas_frac import choose_tiles
     orc = OracleResampler(44100, 96000, 4096, 2.0, 160.0, 0)
-    spec = orc.plan.stages[1]  # in_step 147: unaligned
+    spec = orc.plan.stages[1]  # in_step 147: needs Q = 128
     of = orc.stages[1]
     x = lcg_uniform(8, 9000)
     ref = np.concatenate([of.process(x), of.process(np.zeros(2000))])
     ex = FracWholeExec(spec, jnp.float32, engine="pallas")
+    Q, CT = choose_tiles(spec.in_step, ex.D, spec.out_step, 8)
+    assert Q == 128 and (Q * spec.in_step) % 128 == 0 and CT >= 8
     x8 = np.stack([x * (1 + 0.01 * i) for i in range(8)]).astype(np.float32)
     y = np.asarray(ex.apply(jnp.asarray(np.pad(x8, ((0, 0), (0, 2000))))),
                    np.float64)
     m = min(y.shape[1], len(ref))
     d = rms_db(y[0][:m] - ref[:m])
     assert d < -120.0, d
+
+
+def test_fused_engine_pallas(_interpret_pallas):
+    """FusedUpExec(engine='pallas'): composite stride 294 via adaptive-Q,
+    exact vs the matmul fused executor, fast and high precision."""
+    from r8brain_tpu.models.plan import make_plan
+    from r8brain_tpu.ops.fused import FusedUpExec
+    plan = make_plan(44100, 96000, 2.0, 180.15, 0)
+    x = np.stack([lcg_uniform(s, 16000) for s in range(8)]).astype(
+        np.float32)
+    ref = np.asarray(FusedUpExec(plan, jnp.float32, "fast").apply(
+        jnp.asarray(x)), np.float64)
+    for prec in ("fast", "high"):
+        fe = FusedUpExec(plan, jnp.float32, prec, engine="pallas")
+        y = np.asarray(fe.apply(jnp.asarray(x)), np.float64)
+        assert y.shape == ref.shape
+        d = rms_db(y - ref)
+        assert d < -120.0, (prec, d)
 
 
 def test_df_fft_conv_kernel():
