@@ -356,10 +356,13 @@ def _make_kernel(plan: DfFFTConvPlan4):
 
 
 def df_ols_convolve_pallas4(frames: jnp.ndarray, plan: DfFFTConvPlan4,
-                            T2: int = 4, interpret: bool = False
+                            T2: int = None, interpret: bool = False
                             ) -> jnp.ndarray:
     """frames: [..., F, N] f32 -> circular convolution with the plan's
     kernel spectrum (hi part), real-packed two frames per complex FFT."""
+    if T2 is None:
+        import os
+        T2 = int(os.environ.get("R8B_DFFT_T2", "4"))
     lead = frames.shape[:-1]
     N = frames.shape[-1]
     assert N == plan.n
