@@ -48,8 +48,9 @@ def main(argv=None):
                     help="print timing/Mrops for the conversion")
     ap.add_argument("--stream", action="store_true",
                     help="convert via the push-mode streaming engine in "
-                         "fixed device blocks (bounds device/compile "
-                         "working-set size; WAV I/O is still whole-file)")
+                         "fixed device blocks with incremental WAV "
+                         "read/write — O(block) host memory regardless "
+                         "of file length")
     args = ap.parse_args(argv)
     if args.bits is None:
         args.bits = 32 if getattr(args, "float") else 24
@@ -64,10 +65,14 @@ def main(argv=None):
 
     from .io.wavio import read_wav, write_wav
 
-    wav = read_wav(args.infile)
-    src_rate = wav.rate
     dst_rate = args.dst_rate
     phase = 0 if args.phase == "lin" else 1
+
+    if args.stream:
+        return _stream_convert(args, dst_rate, phase)
+
+    wav = read_wav(args.infile)
+    src_rate = wav.rate
     x = wav.data
     out_len = int(np.floor(wav.frames * dst_rate / src_rate))
 
@@ -87,19 +92,8 @@ def main(argv=None):
 
         rs = Resampler(src_rate, dst_rate, args.tb, args.atten, phase,
                        dtype="float32", precision=args.precision)
-        if args.stream and wav.frames > 0:
-            from .models.stream import StreamResampler
-
-            st = StreamResampler(rs, block_len=65536)
-            # process() re-blocks internally on the stream's block grid
-            y = np.concatenate(
-                [st.process(x.astype(np.float32)), st.flush(out_len)],
-                axis=1)[:, :out_len]
-        elif args.stream:
-            y = np.zeros((wav.channels, 0), dtype=np.float64)
-        else:
-            y = np.asarray(rs.oneshot(x.astype(np.float32), out_len),
-                           dtype=np.float64)
+        y = np.asarray(rs.oneshot(x.astype(np.float32), out_len),
+                       dtype=np.float64)
     dt = time.perf_counter() - t0
 
     write_wav(args.outfile, int(dst_rate), y, args.bits, args.float)
@@ -108,6 +102,54 @@ def main(argv=None):
         print(f"{wav.frames} frames x {wav.channels} ch "
               f"{src_rate:g} -> {dst_rate:g} in {dt:.3f}s = {mrops:.1f} Mrops",
               file=sys.stderr)
+    return 0
+
+
+def _stream_convert(args, dst_rate, phase, block: int = 65536):
+    """Incremental convert: WavReader -> StreamResampler -> WavWriter,
+    O(block) host memory (the reference's example.cpp push loop, with the
+    file I/O streamed too)."""
+    import numpy as np
+
+    from .io.wavio import WavReader, WavWriter
+
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    from .models.resampler import Resampler
+    from .models.stream import StreamResampler
+
+    t0 = time.perf_counter()
+    frames = 0
+    with WavReader(args.infile) as rd:
+        src_rate = rd.rate
+        out_len = int(np.floor(rd.frames * dst_rate / src_rate))
+        rs = Resampler(src_rate, dst_rate, args.tb, args.atten, phase,
+                       dtype="float32", precision=args.precision)
+        st = StreamResampler(rs, block_len=block)
+        written = 0
+        with WavWriter(args.outfile, int(dst_rate), rd.channels,
+                       args.bits, getattr(args, "float")) as wr:
+            while True:
+                blk = rd.read(block)
+                if blk.shape[1] == 0:
+                    break
+                frames += blk.shape[1]
+                y = st.process(blk.astype(np.float32))
+                y = y[:, : max(0, out_len - written)]
+                wr.write(y)
+                written += y.shape[1]
+            tail = st.flush(out_len)[:, : max(0, out_len - written)]
+            wr.write(tail)
+            written += tail.shape[1]
+        channels = rd.channels
+    dt = time.perf_counter() - t0
+    if args.bench:
+        mrops = 1e-6 * frames * channels / dt
+        print(f"{frames} frames x {channels} ch "
+              f"{src_rate:g} -> {dst_rate:g} in {dt:.3f}s = {mrops:.1f} "
+              f"Mrops (streamed)", file=sys.stderr)
     return 0
 
 

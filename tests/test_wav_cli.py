@@ -80,3 +80,56 @@ def test_cli_stream_mode(tmp_path):
     assert outs["oneshot"].shape == outs["stream"].shape
     d = outs["oneshot"] - outs["stream"]
     assert rms_db(d) < -120.0  # 24-bit quantization + framing noise
+
+
+@pytest.mark.parametrize("bits,float_fmt", [(16, False), (24, False),
+                                            (32, True)])
+def test_wav_streaming_io_roundtrip(tmp_path, bits, float_fmt):
+    """WavWriter written block-by-block == write_wav; WavReader read
+    block-by-block == read_wav."""
+    from r8brain_tpu.io.wavio import WavReader, WavWriter
+    rng = np.random.default_rng(3)
+    x = np.clip(rng.standard_normal((3, 1777)) * 0.3, -0.999, 0.999)
+    p1 = tmp_path / "whole.wav"
+    p2 = tmp_path / "stream.wav"
+    write_wav(str(p1), 44100, x, bits, float_fmt)
+    with WavWriter(str(p2), 44100, 3, bits, float_fmt) as wr:
+        pos = 0
+        while pos < x.shape[1]:
+            n = min(313, x.shape[1] - pos)
+            wr.write(x[:, pos : pos + n])
+            pos += n
+    assert p1.read_bytes() == p2.read_bytes()
+    with WavReader(str(p1)) as rd:
+        assert (rd.rate, rd.channels, rd.bits, rd.frames) == \
+            (44100, 3, bits, 1777)
+        blocks = []
+        while True:
+            b = rd.read(400)
+            if b.shape[1] == 0:
+                break
+            blocks.append(b)
+    y = np.concatenate(blocks, axis=1)
+    ref = read_wav(str(p1)).data
+    assert np.array_equal(y, ref)
+
+
+def test_cli_stream_matches_oneshot(tmp_path):
+    """--stream (incremental WAV I/O + push-mode engine) produces the
+    same file content class as the whole-file path."""
+    from r8brain_tpu.cli import main
+    from r8brain_tpu.io.wavio import read_wav, write_wav
+    rng = np.random.default_rng(5)
+    x = np.clip(rng.standard_normal((2, 30000)) * 0.3, -0.999, 0.999)
+    src = tmp_path / "in.wav"
+    write_wav(str(src), 44100, x, 24)
+    a = tmp_path / "whole.wav"
+    b = tmp_path / "stream.wav"
+    for out, flags in ((a, []), (b, ["--stream"])):
+        rc = main([str(src), str(out), "96000", "--platform", "cpu",
+                   "--precision", "fast", "--atten", "140"] + flags)
+        assert rc == 0
+    wa = read_wav(str(a))
+    wb = read_wav(str(b))
+    assert wa.data.shape == wb.data.shape
+    assert rms_db(wa.data - wb.data) < -135.0
