@@ -13,7 +13,8 @@ ROOT = Path(__file__).resolve().parent.parent
 @pytest.mark.parametrize("args", [
     ("examples/basic.py", "--cpu"),
     ("examples/sacd.py", "--cpu", "--seconds", "0.06"),
-], ids=["basic", "sacd"])
+    ("examples/serving.py", "--cpu", "--channels", "8", "--blocks", "2"),
+], ids=["basic", "sacd", "serving"])
 def test_example_runs(args):
     r = subprocess.run([sys.executable, *args], capture_output=True,
                        text=True, cwd=str(ROOT), timeout=560)
