@@ -202,8 +202,11 @@ class FusedUpExec:
         self.skT = sk.T.astype(
             np.float64 if self.dtype == jnp.float64 else np.float32)
         if self.precision == "high":
+            from .stages import truncate_residual
             hi = sk.T.astype(np.float32)
             self.skT_lo = (sk.T - hi.astype(np.float64)).astype(np.float32)
+            self.lo_r0, self.skT_lo_t = truncate_residual(
+                self.skT_lo, float(np.abs(hi).max()))
         self.pad_l = max(0, -a_min)
 
     def out_len(self, n_in: int) -> int:
@@ -243,11 +246,9 @@ class FusedUpExec:
                 trace("fused_pallas_fallback", C=C_, stride=p_in,
                       fallback="matmul")
         if y is None:
-            out = _framed_matmul(xp, skT, n_cyc, p_in)
-            if self.precision == "high":
-                out = out + _framed_matmul(xp, jnp.asarray(self.skT_lo),
-                                           n_cyc, p_in,
-                                           precision=RESIDUAL_PRECISION)
+            lo = ((self.lo_r0, jnp.asarray(self.skT_lo_t))
+                  if self.precision == "high" else None)
+            out = _framed_matmul(xp, skT, n_cyc, p_in, T_lo=lo)
             y = out.reshape(C_, n_cyc * p_out)
         if self.corr_js is not None:
             qw = self.corr.shape[1]

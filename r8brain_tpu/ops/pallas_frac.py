@@ -31,14 +31,16 @@ __all__ = ["HAVE_PALLAS", "frac_whole_pallas", "choose_tiles"]
 
 
 def choose_tiles(I: int, D: int, O: int, C: int,
-                 vmem_budget: int = 24 * 1024 * 1024):
+                 vmem_budget: int = 8 * 1024 * 1024):
     """(Q, CT) for frac_whole_pallas, or (0, 0) when infeasible.
 
     Q (windows per grid cell) is the smallest multiple of
     128/gcd(I, 128) — making the per-cell start Q*I lane-aligned for ANY
     stride I (the round-1 kernel fixed Q=8 and so only ran for
     128-aligned strides); CT is the largest channel tile fitting the
-    input span + output tile + bank in the VMEM budget.
+    input span + output tile + bank in the VMEM budget.  The budget
+    accounts for Mosaic's block double-buffering (2x on the output block
+    and window scratch) against the 16 MB scoped-vmem limit.
     """
     import math
     q0 = 128 // math.gcd(I, 128)
@@ -48,7 +50,7 @@ def choose_tiles(I: int, D: int, O: int, C: int,
     for CT in (128, 64, 32, 16, 8):
         if C % CT:
             continue
-        vmem = 4 * (CT * S + CT * Q * O + D * O)
+        vmem = 4 * (2 * CT * S + 2 * CT * Q * O + D * O)
         if vmem <= vmem_budget:
             return Q, CT
     return 0, 0

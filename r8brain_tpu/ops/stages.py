@@ -77,32 +77,61 @@ RESIDUAL_PRECISION = jax.lax.Precision.DEFAULT
 
 
 def _framed_matmul(xp: jnp.ndarray, T: jnp.ndarray, n_blocks: int, hop: int,
-                   precision=None) -> jnp.ndarray:
+                   precision=None, T_lo=None) -> jnp.ndarray:
     """out[c, b, k] = sum_l frames[c, b, l] * T[l, k] with
     frames[c, b, l] = xp[c, b*hop + l], WITHOUT materializing the
     overlapping frames: einsum(concat(segs), T) == sum_e einsum(seg_e,
     T_rows_e), and each segment is a pure reshape view of xp — the
-    overlap-duplicated HBM round trip disappears."""
+    overlap-duplicated HBM round trip disappears.
+
+    T_lo (optional, (row_offset, operator)): TRUNCATED kernel-
+    representation residual, applied as a separate cheap-precision
+    (RESIDUAL_PRECISION) framed matmul over the shifted window — rows of
+    the f64->f32 residual whose magnitude falls below 2^-34 of the main
+    operator contribute under the output noise floor and are dropped at
+    build time (typically >half the band, so the residual costs well
+    under 1/6th of the main matmul)."""
     if precision is None:
         precision = jax.lax.Precision.HIGHEST
-    C = xp.shape[0]
-    L_f = T.shape[0]
-    n_seg = -(-L_f // hop)
-    total = (n_blocks + n_seg) * hop
-    pad = total - xp.shape[1]
-    if pad > 0:
-        xp = jnp.pad(xp, ((0, 0), (0, pad)))
-    else:
-        xp = xp[:, :total]
-    chunks = xp.reshape(C, n_blocks + n_seg, hop)
-    out = None
-    for e in range(n_seg):
-        w = min(hop, L_f - e * hop)
-        seg = chunks[:, e : n_blocks + e, :w]
-        Te = jax.lax.slice(T, (e * hop, 0), (e * hop + w, T.shape[1]))
-        o = jnp.einsum("cbl,lk->cbk", seg, Te, precision=precision)
-        out = o if out is None else out + o
+
+    def framed(xp, T, prec):
+        C = xp.shape[0]
+        L_f = T.shape[0]
+        n_seg = -(-L_f // hop)
+        total = (n_blocks + n_seg) * hop
+        pad = total - xp.shape[1]
+        if pad > 0:
+            xpp = jnp.pad(xp, ((0, 0), (0, pad)))
+        else:
+            xpp = xp[:, :total]
+        chunks = xpp.reshape(C, n_blocks + n_seg, hop)
+        out = None
+        for e in range(n_seg):
+            w = min(hop, L_f - e * hop)
+            seg = chunks[:, e : n_blocks + e, :w]
+            Te = jax.lax.slice(T, (e * hop, 0), (e * hop + w, T.shape[1]))
+            o = jnp.einsum("cbl,lk->cbk", seg, Te, precision=prec)
+            out = o if out is None else out + o
+        return out
+
+    out = framed(xp, T, precision)
+    if T_lo is not None:
+        r0, Tl = T_lo
+        if Tl.shape[0]:
+            out = out + framed(xp[:, r0:], Tl, RESIDUAL_PRECISION)
     return out
+
+
+def truncate_residual(Tlo: np.ndarray, scale: float):
+    """(row_offset, contiguous significant rows) of a residual operator:
+    rows with max|Tlo| <= scale * 2^-34 contribute below the f32 output
+    noise floor (sum of dropped terms ~ sqrt(n)*2^-34 relative)."""
+    rn = np.abs(Tlo).max(axis=1)
+    idx = np.nonzero(rn > scale * 2.0**-34)[0]
+    if idx.size == 0:
+        return 0, Tlo[:0]
+    r0, r1 = int(idx.min()), int(idx.max()) + 1
+    return r0, np.ascontiguousarray(Tlo[r0:r1])
 
 
 def _conv1d(x: jnp.ndarray, kernel: jnp.ndarray, stride: int = 1,
@@ -276,10 +305,12 @@ class ConvExec:
             Thi = T.astype(self.dtype)
             Tlo = None
             if self.precision == "high":
-                # kernel-representation residual: one extra matmul pass
-                # makes the operator effectively f64-accurate; the
-                # remaining error is the backend's f32 accumulation
-                Tlo = (T - Thi.astype(np.float64)).astype(self.dtype)
+                # kernel-representation residual: one extra (cheap,
+                # row-truncated) matmul pass makes the operator
+                # effectively f64-accurate; the remaining error is the
+                # backend's f32 accumulation
+                lo_full = (T - Thi.astype(np.float64)).astype(self.dtype)
+                Tlo = truncate_residual(lo_full, float(np.abs(Thi).max()))
             self.toep_chunks.append((d0, Thi, Tlo))
         self.B_toep = B
 
@@ -350,12 +381,10 @@ class ConvExec:
         xp = xp[:, self.s_min + pad_l :]
         out = None
         for d0, T, Tlo in self.toep_chunks:
-            o = _framed_matmul(xp[:, d0:], jnp.asarray(T), n_blocks,
-                               B * down)
-            if Tlo is not None:
-                o = o + _framed_matmul(xp[:, d0:], jnp.asarray(Tlo),
-                                       n_blocks, B * down,
-                                       precision=RESIDUAL_PRECISION)
+            o = _framed_matmul(
+                xp[:, d0:], jnp.asarray(T), n_blocks, B * down,
+                T_lo=None if Tlo is None else (Tlo[0],
+                                               jnp.asarray(Tlo[1])))
             out = o if out is None else out + o
         y = out.reshape(C, n_blocks * B * up)
         return y[:, :M]
@@ -564,6 +593,8 @@ class FracWholeExec:
         if self.precision == "high":
             hi = sk.astype(np.float32)
             self.sk_lo = (sk - hi.astype(np.float64)).astype(np.float32)
+            self.lo_r0, self.sk_lo_t = truncate_residual(
+                self.sk_lo.T, float(np.abs(hi).max()))
         self.D = D
         self.pad_l = max(0, -self.a0)
         if self.engine == "auto":
@@ -616,11 +647,10 @@ class FracWholeExec:
                   "alignment", C=C, cell_stride=Q * I, fallback="im2col")
         if self.engine in ("im2col", "pallas"):
             skT = jnp.asarray(self.sk.T)  # [D, O]
-            out = _framed_matmul(xp, skT, n_cyc, I)
+            lo = None
             if self.precision == "high":
-                out = out + _framed_matmul(xp, jnp.asarray(self.sk_lo.T),
-                                           n_cyc, I,
-                                           precision=RESIDUAL_PRECISION)
+                lo = (self.lo_r0, jnp.asarray(self.sk_lo_t))
+            out = _framed_matmul(xp, skT, n_cyc, I, T_lo=lo)
             y = out.reshape(C, n_cyc * O)
             return y[:, :M]
         if self.precision == "high":

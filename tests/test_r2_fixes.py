@@ -46,7 +46,7 @@ class TestHighPrecisionResidual:
         built from the rounded superkernel)."""
         _, spec = _conv_spec()
         ex = ConvExec(spec, jnp.float32, precision="high", engine="toeplitz")
-        lo_mags = [np.abs(Tlo).max() for _, _, Tlo in ex.toep_chunks]
+        lo_mags = [np.abs(Tlo[1]).max() for _, _, Tlo in ex.toep_chunks]
         assert max(lo_mags) > 0.0
         # residual magnitude ~ ulp of the kernel values
         hi_mag = max(np.abs(T).max() for _, T, _ in ex.toep_chunks)
@@ -75,10 +75,16 @@ class TestHighPrecisionResidual:
                     T64[t * down : t * down + dc, t * up + j] = \
                         sk64[j, d0 : d0 + dc]
             scale = np.abs(T64).max()
+            r0, lo_t = Tlo
+            lo_full = np.zeros_like(Thi)
+            lo_full[r0 : r0 + lo_t.shape[0]] = lo_t
             err_hi = np.abs(Thi.astype(np.float64) - T64).max()
-            err_split = np.abs(Thi.astype(np.float64) + Tlo - T64).max()
+            err_split = np.abs(Thi.astype(np.float64) + lo_full
+                               - T64).max()
             assert err_hi > scale * 2.0 ** -26  # Thi alone is f32-limited
-            assert err_split < scale * 2.0 ** -45, (err_hi, err_split)
+            # kept rows reproduce f64 exactly; dropped rows are below the
+            # 2^-34 truncation threshold by construction
+            assert err_split <= scale * 2.0 ** -34, (err_hi, err_split)
 
     def test_pallas_high_matches_toeplitz_high(self):
         """ADVICE r1 medium: the pallas engine must apply the residual in
@@ -179,7 +185,8 @@ class TestHighPrecisionResidual:
         conv = rs.execs[0]
         assert isinstance(conv, ConvExec)
         assert conv.engine == "toeplitz"
-        assert any(np.abs(Tlo).max() > 0 for _, _, Tlo in conv.toep_chunks)
+        assert any(np.abs(Tlo[1]).max() > 0
+                   for _, _, Tlo in conv.toep_chunks)
 
 
 class TestEnginePlumbing:
