@@ -118,7 +118,12 @@ def _framed_matmul(xp: jnp.ndarray, T: jnp.ndarray, n_blocks: int, hop: int,
     if T_lo is not None:
         r0, Tl = T_lo
         if Tl.shape[0]:
-            out = out + framed(xp[:, r0:], Tl, RESIDUAL_PRECISION)
+            # the residual is ~2^-24 of the main term: one bf16 MXU pass
+            # and a bf16 partial-result tensor (half the HBM traffic of
+            # the correction add) keep its contribution ~2^-32-exact
+            lo = framed(xp[:, r0:].astype(jnp.bfloat16),
+                        Tl.astype(jnp.bfloat16), RESIDUAL_PRECISION)
+            out = out + lo.astype(out.dtype)
     return out
 
 
