@@ -83,8 +83,8 @@ class TestHighPrecisionResidual:
                                - T64).max()
             assert err_hi > scale * 2.0 ** -26  # Thi alone is f32-limited
             # kept rows reproduce f64 exactly; dropped rows are below the
-            # 2^-34 truncation threshold by construction
-            assert err_split <= scale * 2.0 ** -34, (err_hi, err_split)
+            # 2^-31 truncation threshold by construction
+            assert err_split <= scale * 2.0 ** -31, (err_hi, err_split)
 
     def test_pallas_high_matches_toeplitz_high(self):
         """ADVICE r1 medium: the pallas engine must apply the residual in
@@ -278,3 +278,41 @@ class TestNativeBlobValidation:
             bad = bytearray(blob)
             bad[off] ^= 0xFF
             lib.r8bt_create_from_blob(bytes(bad), len(bad))
+
+
+class TestResidualTruncation:
+    """The truncated residual's dropped rows must be provably negligible:
+    a linear (worst-case, not statistical) bound on the dropped L1 mass
+    relative to the main operator far under the -141 dB class."""
+
+    def test_fused_flagship_dropped_mass_bound(self):
+        from r8brain_tpu.ops.fused import FusedUpExec
+
+        plan = make_plan(44100.0, 96000.0, 2.0, 180.15, 0)
+        ex = FusedUpExec(plan, jnp.float32, "high")
+        lo_full = np.asarray(ex.skT_lo, dtype=np.float64)
+        r0, kept = ex.lo_r0, np.asarray(ex.skT_lo_t)
+        # kept rows are a contiguous window of the full residual
+        np.testing.assert_array_equal(
+            kept, lo_full[r0 : r0 + kept.shape[0]].astype(np.float32))
+        drop = np.ones(lo_full.shape[0], dtype=bool)
+        drop[r0 : r0 + kept.shape[0]] = False
+        l1_drop = np.abs(lo_full[drop]).sum()
+        l1_main = np.abs(np.asarray(ex.skT, dtype=np.float64)).sum()
+        db = 20 * np.log10(l1_drop / l1_main + 1e-300)
+        assert db < -160.0, db
+
+    def test_truncation_threshold_keeps_significant_rows(self):
+        from r8brain_tpu.ops.stages import truncate_residual
+
+        rng = np.random.default_rng(0)
+        T = rng.standard_normal((64, 8))
+        scale = 2.0
+        T[10:20] *= 1e-12  # far below threshold
+        T[:5] *= 1e-12
+        T[40:] *= 1e-12
+        r0, kept = truncate_residual(T, scale)
+        assert r0 == 5 and kept.shape[0] == 35  # rows 5..40 window
+        rn = np.abs(T).max(axis=1)
+        sig = np.nonzero(rn > scale * 2.0**-31)[0]
+        assert r0 <= sig.min() and sig.max() < r0 + kept.shape[0]
