@@ -94,35 +94,43 @@ def _framed_matmul(xp: jnp.ndarray, T: jnp.ndarray, n_blocks: int, hop: int,
     if precision is None:
         precision = jax.lax.Precision.HIGHEST
 
-    def framed(xp, T, prec):
-        C = xp.shape[0]
-        L_f = T.shape[0]
-        n_seg = -(-L_f // hop)
-        total = (n_blocks + n_seg) * hop
-        pad = total - xp.shape[1]
-        if pad > 0:
-            xpp = jnp.pad(xp, ((0, 0), (0, pad)))
-        else:
-            xpp = xp[:, :total]
-        chunks = xpp.reshape(C, n_blocks + n_seg, hop)
-        out = None
-        for e in range(n_seg):
-            w = min(hop, L_f - e * hop)
-            seg = chunks[:, e : n_blocks + e, :w]
-            Te = jax.lax.slice(T, (e * hop, 0), (e * hop + w, T.shape[1]))
-            o = jnp.einsum("cbl,lk->cbk", seg, Te, precision=prec)
-            out = o if out is None else out + o
-        return out
-
-    out = framed(xp, T, precision)
+    C = xp.shape[0]
+    L_f = T.shape[0]
+    n_seg = -(-L_f // hop)
+    total = (n_blocks + n_seg) * hop
+    pad = total - xp.shape[1]
+    if pad > 0:
+        xpp = jnp.pad(xp, ((0, 0), (0, pad)))
+    else:
+        xpp = xp[:, :total]
+    chunks = xpp.reshape(C, n_blocks + n_seg, hop)
+    out = None
+    for e in range(n_seg):
+        w = min(hop, L_f - e * hop)
+        seg = chunks[:, e : n_blocks + e, :w]
+        Te = jax.lax.slice(T, (e * hop, 0), (e * hop + w, T.shape[1]))
+        o = jnp.einsum("cbl,lk->cbk", seg, Te, precision=precision)
+        out = o if out is None else out + o
     if T_lo is not None:
         r0, Tl = T_lo
         if Tl.shape[0]:
             # the residual is ~2^-24 of the main term: one bf16 MXU pass
-            # and a bf16 partial-result tensor (half the HBM traffic of
-            # the correction add) keep its contribution ~2^-32-exact
-            lo = framed(xp[:, r0:].astype(jnp.bfloat16),
-                        Tl.astype(jnp.bfloat16), RESIDUAL_PRECISION)
+            # keeps its contribution ~2^-32-exact at 1/6th the pass cost.
+            # Each residual segment is an offset window into the SAME
+            # chunk tensor as the main pass (sliced, not re-framed), so
+            # the residual adds no second HBM read of the input — the
+            # bf16 convert fuses into the matmul operand read.
+            L_lo = Tl.shape[0]
+            lo = None
+            for e in range(r0 // hop, (r0 + L_lo - 1) // hop + 1):
+                a0 = max(r0, e * hop)          # absolute row range of
+                a1 = min(r0 + L_lo, e * hop + hop)  # Tl inside segment e
+                seg = chunks[:, e : n_blocks + e, a0 - e * hop : a1 - e * hop]
+                Te = jax.lax.slice(Tl, (a0 - r0, 0), (a1 - r0, Tl.shape[1]))
+                o = jnp.einsum("cbl,lk->cbk", seg.astype(jnp.bfloat16),
+                               Te.astype(jnp.bfloat16),
+                               precision=RESIDUAL_PRECISION)
+                lo = o if lo is None else lo + o
             out = out + lo.astype(out.dtype)
     return out
 
@@ -195,7 +203,7 @@ class ConvExec:
         self.engine = engine
         k = np.asarray(spec.filt.kernel, dtype=np.float64)
         self.K = k.shape[0]
-        if engine in ("pallas_fft", "pallas_fft4"):
+        if engine in ("pallas_fft", "pallas_fft4", "pallas_fft5"):
             # the VMEM-resident df32-FFT kernels share the fft framing
             self.precision = "high"
         elif engine in ("direct", "toeplitz", "pallas"):
@@ -226,6 +234,18 @@ class ConvExec:
             elif engine == "pallas_fft4":
                 from .pallas_dfft4 import DfFFTConvPlan4
                 self.dfft_plan = DfFFTConvPlan4(nfft, Hfull)
+            elif engine == "pallas_fft5":
+                from .pallas_dfft5 import DfFFTConvPlan5, supported_n
+                if supported_n(nfft):
+                    self.dfft_plan = DfFFTConvPlan5(nfft, Hfull)
+                else:
+                    # four-step layout needs n = A*128, A pow2 in [8,128];
+                    # out-of-range kernels keep the roll-form v2 engine
+                    from ..utils.trace import trace
+                    trace("conv_pallas_fft5_fallback", nfft=nfft)
+                    from .pallas_dfft4 import DfFFTConvPlan4
+                    self.engine = "pallas_fft4"
+                    self.dfft_plan = DfFFTConvPlan4(nfft, Hfull)
             else:
                 from .dfft import DfFFT
                 self.H_re = np.ascontiguousarray(Hfull.real)
@@ -479,6 +499,9 @@ class ConvExec:
         elif self.engine == "pallas_fft4":
             from .pallas_dfft4 import df_ols_convolve_pallas4
             W = df_ols_convolve_pallas4(frames, self.dfft_plan)
+        elif self.engine == "pallas_fft5":
+            from .pallas_dfft5 import df_ols_convolve_pallas5
+            W = df_ols_convolve_pallas5(frames, self.dfft_plan)
         elif self.precision == "high":
             from .dfft import df_ols_convolve
             W = df_ols_convolve(frames, self.H_re, self.H_im, self.dfft_plan)

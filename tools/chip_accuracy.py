@@ -27,6 +27,7 @@ CONFIGS = {
     "hp_dfft": ("high", False, "fft", "auto"),
     "hp_dfft_pallas": ("high", False, "pallas_fft", "auto"),
     "hp_dfft_pallas4": ("high", False, "pallas_fft4", "auto"),
+    "hp_dfft_pallas5": ("high", False, "pallas_fft5", "auto"),
     "fast_pallas_fused": ("fast", True, "pallas", "auto"),
     "high_pallas_fused": ("high", True, "pallas", "auto"),
 }
