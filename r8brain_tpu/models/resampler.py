@@ -51,7 +51,11 @@ class Resampler:
         both precision modes; pass False to force the two-stage pipeline.
 
         conv_engine: convolver engine for unfused stages — "auto",
-        "toeplitz", "fft", "direct", "pallas".
+        "toeplitz", "fft", "direct", "pallas", or the VMEM-resident
+        df32-FFT guarantee engines "pallas_fft" (radix-2),
+        "pallas_fft4" (radix-4), "pallas_fft5" (four-step
+        direct-butterfly, the fastest; in-VMEM overlap-save framing
+        when the kernel geometry allows).
 
         frac_engine: whole-stepping interpolator engine for unfused stages
         — "auto", "im2col", "conv", "pallas" (the pallas engine requires

@@ -63,7 +63,9 @@ except Exception:  # pragma: no cover
 from .pallas_dfft4 import (_cmul, _df_add, _df_neg, _df_sub, _split64)
 
 __all__ = ["HAVE_PALLAS", "DfFFTConvPlan5", "df_ols_convolve_pallas5",
-           "host_pipeline_forward", "supported_n"]
+           "df_ols_convolve_pallas5_framed",
+           "df_ols_convolve_pallas5_framed_poly", "host_pipeline_forward",
+           "supported_n", "framed_supported"]
 
 LANES = 128
 TILE = 8  # f32 sublane tile: row slices at multiples of 8 are free
@@ -76,6 +78,12 @@ def supported_n(n: int) -> bool:
         return False
     A = n // LANES
     return 8 <= A <= 128 and (A & (A - 1)) == 0
+
+
+def framed_supported(n: int) -> bool:
+    """Framed (in-VMEM overlap-save) mode needs frame starts on sublane
+    tiles: hop = 3n/4 must be a 1024-multiple, i.e. A >= 32."""
+    return supported_n(n) and n >= 4096
 
 
 def _part_plan(n: int):
@@ -207,13 +215,24 @@ class DfFFTConvPlan5:
     """Host constants for the four-step df32-FFT convolution kernel.
 
     H_full: complex128 [n] = np.fft.fft(k, n) / n (inverse scale folded).
+    H_full2: optional second spectrum (same layout) for the polyphase
+    up=2 mode — one forward transform shared by two spectrum-multiply +
+    inverse passes (k_even / k_odd), mirroring the reference's trick of
+    folding the power-of-2 UpFactor into a smaller input FFT
+    (CDSPBlockConvolver.h:62-110).
     """
 
-    def __init__(self, n: int, H_full: np.ndarray):
+    def __init__(self, n: int, H_full: np.ndarray,
+                 H_full2: np.ndarray = None):
         assert supported_n(n), n
         self.n = n
         self.A = A = n // LANES
         self.T2 = LANES // A
+        # framed (in-VMEM overlap-save) geometry: hop = 3n/4 so the
+        # overlap head p_pad = n/4 exactly divides the cell span and all
+        # frame starts land on sublane-tile rows (needs A >= 32)
+        self.hop = 3 * n // 4
+        self.p_pad = n // 4
         self.planA = _part_plan(A)
         self.planB = _part_plan(LANES)
 
@@ -268,6 +287,11 @@ class DfFFTConvPlan5:
         k_idx = (fA[a_of_row][None, :] + A * fB[:, None]) % n
         Hs = np.asarray(H_full, dtype=np.complex128)[k_idx]
         self.h_tw = np.stack(_split64(Hs.real) + _split64(Hs.imag))
+        if H_full2 is not None:
+            H2 = np.asarray(H_full2, dtype=np.complex128)[k_idx]
+            self.h_tw2 = np.stack(_split64(H2.real) + _split64(H2.imag))
+        else:
+            self.h_tw2 = None
 
 
 # ---- kernel-side butterfly forms ----------------------------------------
@@ -408,7 +432,8 @@ def _r2_roll(re, im, h, c, inv: bool):
     return _sel(mask, u_r, v_r), _sel(mask, u_i, v_i)
 
 
-def _make_kernel5(plan: "DfFFTConvPlan5", transpose_mode: str):
+def _make_kernel5(plan: "DfFFTConvPlan5", transpose_mode: str,
+                  framed: bool = False):
     planA, planB = plan.planA, plan.planB
     SA = len(planA)
     T2, A = plan.T2, plan.A
@@ -454,6 +479,30 @@ def _make_kernel5(plan: "DfFFTConvPlan5", transpose_mode: str):
                     re, im = _r2_roll(re, im, h, c, inv)
         return re, im
 
+    def forward(re, im, tw_ref, msk_ref, fs_ref):
+        re, im = apply_part(re, im, planA, 0, tw_ref, msk_ref, False)
+        fr = (fs_ref[0], fs_ref[1])
+        fi = (fs_ref[2], fs_ref[3])
+        re, im = _cmul(re, im, fr, fi)
+        re, im = _tr_df(re), _tr_df(im)
+        return apply_part(re, im, planB, SA, tw_ref, msk_ref, False)
+
+    def inverse(re, im, tw_ref, msk_ref, fs_ref, h_ref):
+        hr = (h_ref[0], h_ref[1])
+        hi_ = (h_ref[2], h_ref[3])
+        re, im = _cmul(re, im, hr, hi_)
+        re, im = apply_part(re, im, planB, SA, tw_ref, msk_ref, True)
+        re, im = _tr_df(re), _tr_df(im)
+        fr = (fs_ref[0], fs_ref[1])
+        fi = (fs_ref[2], fs_ref[3])
+        re, im = _cmul(re, im, fr, (-fi[0], -fi[1]))
+        re, im = apply_part(re, im, planA, 0, tw_ref, msk_ref, True)
+        return re[0] + re[1], im[0] + im[1]
+
+    def pipeline(re, im, tw_ref, msk_ref, fs_ref, h_ref):
+        re, im = forward(re, im, tw_ref, msk_ref, fs_ref)
+        return inverse(re, im, tw_ref, msk_ref, fs_ref, h_ref)
+
     def kernel(x_ref, tw_ref, msk_ref, fs_ref, h_ref, o_ref):
         # block = 2*T2 consecutive frames, interleaved (even frame ->
         # real, odd -> imag of one packed complex transform).  The
@@ -465,31 +514,72 @@ def _make_kernel5(plan: "DfFFTConvPlan5", transpose_mode: str):
             [x2[2 * t * A : (2 * t + 1) * A] for t in range(T2)]), z)
         im = (jnp.concatenate(
             [x2[(2 * t + 1) * A : (2 * t + 2) * A] for t in range(T2)]), z)
-
-        re, im = apply_part(re, im, planA, 0, tw_ref, msk_ref, False)
-        fr = (fs_ref[0], fs_ref[1])
-        fi = (fs_ref[2], fs_ref[3])
-        re, im = _cmul(re, im, fr, fi)
-        re, im = _tr_df(re), _tr_df(im)
-        re, im = apply_part(re, im, planB, SA, tw_ref, msk_ref, False)
-
-        hr = (h_ref[0], h_ref[1])
-        hi_ = (h_ref[2], h_ref[3])
-        re, im = _cmul(re, im, hr, hi_)
-
-        re, im = apply_part(re, im, planB, SA, tw_ref, msk_ref, True)
-        re, im = _tr_df(re), _tr_df(im)
-        re, im = _cmul(re, im, fr, (-fi[0], -fi[1]))
-        re, im = apply_part(re, im, planA, 0, tw_ref, msk_ref, True)
-
-        rr = re[0] + re[1]
-        ii = im[0] + im[1]
+        rr, ii = pipeline(re, im, tw_ref, msk_ref, fs_ref, h_ref)
         o_ref[:] = jnp.concatenate(
             [jnp.concatenate([rr[t * A : (t + 1) * A],
                               ii[t * A : (t + 1) * A]]) for t in range(T2)]
         ).reshape(2 * T2, A, LANES)
 
-    return kernel
+    G = 2 * T2
+    hr_rows = plan.hop // LANES       # frame advance, in sublane rows
+    pr_rows = A - hr_rows             # overlap-save head (P_pad rows)
+
+    def kernel_framed(xm_ref, xt_ref, tw_ref, msk_ref, fs_ref, h_ref,
+                      o_ref):
+        # Overlap-save framing IN VMEM: the cell's signal window is the
+        # main block (G*hop samples) plus the next cell's first P_pad
+        # samples (the tail block — a second blocked view of the same
+        # HBM array, so pallas double-buffers both and no frame tensor
+        # ever exists in HBM).  Frame g = window rows [g*hr, g*hr + A);
+        # all offsets are sublane-tile aligned because hop = 3n/4 is a
+        # 1024-multiple for A >= 32.
+        z = jnp.zeros((LANES, LANES), dtype=jnp.float32)
+        win = jnp.concatenate(
+            [xm_ref[:].reshape(G * hr_rows, LANES),
+             xt_ref[:].reshape(pr_rows, LANES)])
+        re = (jnp.concatenate(
+            [win[2 * t * hr_rows : 2 * t * hr_rows + A]
+             for t in range(T2)]), z)
+        im = (jnp.concatenate(
+            [win[(2 * t + 1) * hr_rows : (2 * t + 1) * hr_rows + A]
+             for t in range(T2)]), z)
+        rr, ii = pipeline(re, im, tw_ref, msk_ref, fs_ref, h_ref)
+        # only the valid hop-sample tail of each frame leaves VMEM: the
+        # output block is already the contiguous overlap-save stream
+        o_ref[:] = jnp.concatenate(
+            [jnp.concatenate([rr[t * A + pr_rows : (t + 1) * A],
+                              ii[t * A + pr_rows : (t + 1) * A]])
+             for t in range(T2)]).reshape(1, G * hr_rows, LANES)
+
+    def kernel_framed_poly(xm_ref, xt_ref, tw_ref, msk_ref, fs_ref,
+                           h_ref, h2_ref, o_ref):
+        # polyphase up=2: the window is the UNSTUFFED signal; one shared
+        # forward transform, then two spectrum-multiply + inverse passes
+        # (k_even / k_odd).  Output slot p holds (k_p * x) valid streams;
+        # the caller interleaves them back to the stuffed grid.
+        z = jnp.zeros((LANES, LANES), dtype=jnp.float32)
+        win = jnp.concatenate(
+            [xm_ref[:].reshape(G * hr_rows, LANES),
+             xt_ref[:].reshape(pr_rows, LANES)])
+        re = (jnp.concatenate(
+            [win[2 * t * hr_rows : 2 * t * hr_rows + A]
+             for t in range(T2)]), z)
+        im = (jnp.concatenate(
+            [win[(2 * t + 1) * hr_rows : (2 * t + 1) * hr_rows + A]
+             for t in range(T2)]), z)
+        fre, fim = forward(re, im, tw_ref, msk_ref, fs_ref)
+        outs = []
+        for h_k in (h_ref, h2_ref):
+            rr, ii = inverse(fre, fim, tw_ref, msk_ref, fs_ref, h_k)
+            outs.append(jnp.concatenate(
+                [jnp.concatenate([rr[t * A + pr_rows : (t + 1) * A],
+                                  ii[t * A + pr_rows : (t + 1) * A]])
+                 for t in range(T2)]))
+        o_ref[:] = jnp.stack(outs).reshape(1, 2, G * hr_rows, LANES)
+
+    if framed == "poly":
+        return kernel_framed_poly
+    return kernel_framed if framed else kernel
 
 
 @functools.partial(jax.jit, static_argnames=("plan", "interpret",
@@ -548,3 +638,137 @@ def df_ols_convolve_pallas5(frames: jnp.ndarray, plan: "DfFFTConvPlan5",
     if pad:
         y = y[:total]
     return y.reshape(*lead, N)
+
+
+@functools.partial(jax.jit, static_argnames=("plan", "n_frames",
+                                             "interpret", "transpose_mode"))
+def _convolve5_framed(u_p, plan: "DfFFTConvPlan5", n_frames: int,
+                      interpret: bool, transpose_mode: str):
+    T2, A, n, hop = plan.T2, plan.A, plan.n, plan.hop
+    G = 2 * T2
+    n_cells_t = -(-n_frames // G)
+    C = u_p.shape[0]
+    L_need = n_cells_t * G * hop + plan.p_pad
+    if u_p.shape[1] < L_need:
+        u_p = jnp.pad(u_p, ((0, 0), (0, L_need - u_p.shape[1])))
+    elif u_p.shape[1] > L_need:
+        u_p = u_p[:, :L_need]
+    tw = jnp.asarray(np.concatenate([plan.twA, plan.twB]))
+    msk = jnp.asarray(np.concatenate([plan.mskA, plan.mskB]))
+    fs = jnp.asarray(plan.fstep)
+    h = jnp.asarray(plan.h_tw)
+    S = tw.shape[0]
+    kernel = _make_kernel5(plan, transpose_mode, framed=True)
+    span = G * hop
+    sr = span // LANES          # rows per cell span
+    pr = plan.p_pad // LANES    # rows per overlap head
+    ratio = span // plan.p_pad  # integer: span = 6*T2 * p_pad
+    u3 = u_p.reshape(C, L_need // LANES, LANES)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((C, n_cells_t * sr, LANES),
+                                       jnp.float32),
+        grid=(C, n_cells_t),
+        in_specs=[
+            pl.BlockSpec((1, sr, LANES), lambda c, t: (c, t, 0)),
+            pl.BlockSpec((1, pr, LANES),
+                         lambda c, t: (c, (t + 1) * ratio, 0)),
+            pl.BlockSpec((S, 4, LANES, LANES), lambda c, t: (0, 0, 0, 0)),
+            pl.BlockSpec((S, LANES, LANES), lambda c, t: (0, 0, 0)),
+            pl.BlockSpec((4, LANES, LANES), lambda c, t: (0, 0, 0)),
+            pl.BlockSpec((4, LANES, LANES), lambda c, t: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, sr, LANES), lambda c, t: (c, t, 0)),
+        interpret=interpret,
+    )(u3, u3, tw, msk, fs, h)
+    return out.reshape(C, n_cells_t * span)
+
+
+def df_ols_convolve_pallas5_framed(u_p: jnp.ndarray,
+                                   plan: "DfFFTConvPlan5", n_frames: int,
+                                   interpret: bool = False,
+                                   transpose_mode: str = None
+                                   ) -> jnp.ndarray:
+    """In-VMEM overlap-save convolution of the front-padded signal.
+
+    u_p: [C, L] f32 with p_pad = n/4 leading zeros already applied;
+    returns w [C, >= n_frames*hop] where w[c, t] = (k * u)[c, t] — the
+    valid overlap-save stream.  Unlike df_ols_convolve_pallas5, the
+    frame tensor never exists in HBM: each grid cell reads its signal
+    window as two blocked views of u_p (the main span plus the next
+    cell's first p_pad samples) and writes only valid samples, so the
+    HBM traffic is one read of u_p (~4/3x for the overlap views) and
+    one write of the output."""
+    assert framed_supported(plan.n), plan.n
+    if transpose_mode is None:
+        import os
+        transpose_mode = os.environ.get("R8B_DFFT5_TR", "vector")
+    return _convolve5_framed(u_p, plan, n_frames, interpret,
+                             transpose_mode)
+
+
+@functools.partial(jax.jit, static_argnames=("plan", "n_frames",
+                                             "interpret", "transpose_mode"))
+def _convolve5_framed_poly(x_p, plan: "DfFFTConvPlan5", n_frames: int,
+                           interpret: bool, transpose_mode: str):
+    T2, A, n, hop = plan.T2, plan.A, plan.n, plan.hop
+    G = 2 * T2
+    n_cells_t = -(-n_frames // G)
+    C = x_p.shape[0]
+    L_need = n_cells_t * G * hop + plan.p_pad
+    if x_p.shape[1] < L_need:
+        x_p = jnp.pad(x_p, ((0, 0), (0, L_need - x_p.shape[1])))
+    elif x_p.shape[1] > L_need:
+        x_p = x_p[:, :L_need]
+    tw = jnp.asarray(np.concatenate([plan.twA, plan.twB]))
+    msk = jnp.asarray(np.concatenate([plan.mskA, plan.mskB]))
+    fs = jnp.asarray(plan.fstep)
+    h = jnp.asarray(plan.h_tw)
+    h2 = jnp.asarray(plan.h_tw2)
+    S = tw.shape[0]
+    kernel = _make_kernel5(plan, transpose_mode, framed="poly")
+    span = G * hop
+    sr = span // LANES
+    pr = plan.p_pad // LANES
+    ratio = span // plan.p_pad
+    u3 = x_p.reshape(C, L_need // LANES, LANES)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((C, 2, n_cells_t * sr, LANES),
+                                       jnp.float32),
+        grid=(C, n_cells_t),
+        in_specs=[
+            pl.BlockSpec((1, sr, LANES), lambda c, t: (c, t, 0)),
+            pl.BlockSpec((1, pr, LANES),
+                         lambda c, t: (c, (t + 1) * ratio, 0)),
+            pl.BlockSpec((S, 4, LANES, LANES), lambda c, t: (0, 0, 0, 0)),
+            pl.BlockSpec((S, LANES, LANES), lambda c, t: (0, 0, 0)),
+            pl.BlockSpec((4, LANES, LANES), lambda c, t: (0, 0, 0)),
+            pl.BlockSpec((4, LANES, LANES), lambda c, t: (0, 0, 0)),
+            pl.BlockSpec((4, LANES, LANES), lambda c, t: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 2, sr, LANES),
+                               lambda c, t: (c, 0, t, 0)),
+        interpret=interpret,
+    )(u3, u3, tw, msk, fs, h, h2)
+    return out.reshape(C, 2, n_cells_t * span)
+
+
+def df_ols_convolve_pallas5_framed_poly(x_p: jnp.ndarray,
+                                        plan: "DfFFTConvPlan5",
+                                        n_frames: int,
+                                        interpret: bool = False,
+                                        transpose_mode: str = None
+                                        ) -> jnp.ndarray:
+    """Polyphase up=2 in-VMEM overlap-save: x_p is the UNSTUFFED signal
+    with p_pad leading zeros; returns wp [C, 2, S] where
+    wp[c, p, s] = (k_p * x)[c, s] for the even (p=0) / odd (p=1)
+    polyphase kernel components — i.e. the stuffed convolution stream is
+    w[2s + p] = wp[p, s].  One forward transform feeds both inverse
+    passes, and the kernel reads half the bytes of the stuffed form."""
+    assert framed_supported(plan.n) and plan.h_tw2 is not None
+    if transpose_mode is None:
+        import os
+        transpose_mode = os.environ.get("R8B_DFFT5_TR", "vector")
+    return _convolve5_framed_poly(x_p, plan, n_frames, interpret,
+                                  transpose_mode)

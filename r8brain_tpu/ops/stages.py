@@ -201,6 +201,8 @@ class ConvExec:
             # guarantee).  f64 (CPU parity/testing): FFT overlap-save.
             engine = "toeplitz" if self.dtype == jnp.float32 else "fft"
         self.engine = engine
+        self.framed5 = False
+        self.framed5_poly = False
         k = np.asarray(spec.filt.kernel, dtype=np.float64)
         self.K = k.shape[0]
         if engine in ("pallas_fft", "pallas_fft4", "pallas_fft5"):
@@ -235,9 +237,35 @@ class ConvExec:
                 from .pallas_dfft4 import DfFFTConvPlan4
                 self.dfft_plan = DfFFTConvPlan4(nfft, Hfull)
             elif engine == "pallas_fft5":
-                from .pallas_dfft5 import DfFFTConvPlan5, supported_n
+                from .pallas_dfft5 import (DfFFTConvPlan5, framed_supported,
+                                           supported_n)
+                if spec.up == 2:
+                    # polyphase fold: the stuffed up=2 convolution is two
+                    # half-rate convolutions of the UNSTUFFED input with
+                    # k_even/k_odd — one shared forward FFT at half the
+                    # size, the same trick as the reference's UpShift
+                    # input-FFT fold (CDSPBlockConvolver.h:62-110)
+                    ke, ko = k[0::2], k[1::2]
+                    Px = max(ke.shape[0], ko.shape[0]) - 1
+                    nx = max(4096, _next_pow2(max(1, Px)) << ext)
+                    while Px > nx // 4:
+                        nx *= 2
+                    if framed_supported(nx):
+                        self.dfft_plan = DfFFTConvPlan5(
+                            nx, np.fft.fft(ke, n=nx) / nx,
+                            np.fft.fft(ko, n=nx) / nx)
+                        self.framed5_poly = True
+                        self.H_hi = self.H_lo = None
+                        return
                 if supported_n(nfft):
                     self.dfft_plan = DfFFTConvPlan5(nfft, Hfull)
+                    # in-VMEM overlap-save: frames are assembled from
+                    # blocked views inside the kernel (hop = 3n/4, head
+                    # p_pad = n/4 >= P required for OLS validity)
+                    self.framed5 = (framed_supported(nfft)
+                                    and P <= nfft // 4)
+                    if self.framed5:
+                        self.hop = self.dfft_plan.hop
                 else:
                     # four-step layout needs n = A*128, A pow2 in [8,128];
                     # out-of-range kernels keep the roll-form v2 engine
@@ -473,6 +501,22 @@ class ConvExec:
         up, down, off = spec.up, spec.down, spec.offset
         P, hop, nfft = self.K - 1, self.hop, self.nfft
 
+        if self.framed5_poly:
+            # polyphase up=2: convolve the UNSTUFFED signal against the
+            # even/odd kernel halves in one shared-forward kernel pass,
+            # then interleave — the stuffed signal never exists
+            from .pallas_dfft5 import df_ols_convolve_pallas5_framed_poly
+            plan = self.dfft_plan
+            t_needed = (M - 1) * down + off + 1
+            s_needed = (t_needed + 1) // 2  # stuffed -> unstuffed length
+            n_frames = -(-s_needed // plan.hop)
+            x_p = jnp.pad(x.astype(self.dtype),
+                          ((0, 0), (plan.p_pad, 0)))
+            wp = df_ols_convolve_pallas5_framed_poly(x_p, plan, n_frames)
+            w = jnp.swapaxes(wp, 1, 2).reshape(C, -1)
+            return jax.lax.slice(w, (0, off),
+                                 (C, off + (M - 1) * down + 1), (1, down))
+
         # zero-stuff to the upsampled grid
         if up > 1:
             u = jnp.zeros((C, N * up), dtype=self.dtype)
@@ -482,6 +526,14 @@ class ConvExec:
 
         t_needed = (M - 1) * down + off + 1  # w positions [0, t_needed)
         n_frames = -(-t_needed // hop)
+        if self.engine == "pallas_fft5" and self.framed5:
+            # in-VMEM overlap-save: no frame tensor in HBM at all
+            from .pallas_dfft5 import df_ols_convolve_pallas5_framed
+            u_p = jnp.pad(u, ((0, 0), (self.dfft_plan.p_pad, 0)))
+            w = df_ols_convolve_pallas5_framed(u_p, self.dfft_plan,
+                                               n_frames)
+            return jax.lax.slice(w, (0, off),
+                                 (C, off + (M - 1) * down + 1), (1, down))
         # u_p = [zeros(P), u, zeros(pad_r)] of length (n_frames + 1) * hop
         total = (n_frames + 1) * hop
         pad_r = total - P - u.shape[1]

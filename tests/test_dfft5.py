@@ -110,6 +110,123 @@ def test_supported_range():
             if supported_n(n)] == [1024, 8192, 16384]
 
 
+def _host_convolve5_framed(u_p, plan, n_frames, interpret, transpose_mode):
+    """Numpy stand-in for the framed kernel: overlap-save with hop=3n/4,
+    head p_pad=n/4, valid-only output — direct circular convolution per
+    frame (the transform layout itself is pinned by _host_convolve5)."""
+    import numpy as _np
+
+    n, hop, p_pad, A = plan.n, plan.hop, plan.p_pad, plan.A
+    G = 2 * plan.T2
+    n_cells = -(-n_frames // G)
+    L_need = n_cells * G * hop + p_pad
+    u = _np.asarray(u_p, _np.float64)
+    if u.shape[1] < L_need:
+        u = _np.pad(u, ((0, 0), (0, L_need - u.shape[1])))
+    # natural-order spectrum from the baked permuted planes
+    fA = _recover_freq_map(plan.planA, A)
+    fB = _recover_freq_map(plan.planB, LANES)
+    a_of_row = _np.arange(LANES) % A
+    k_idx = (fA[a_of_row][None, :] + A * fB[:, None]) % n
+    Hs = ((plan.h_tw[0] + plan.h_tw[1])
+          + 1j * (plan.h_tw[2] + plan.h_tw[3]))
+    H_nat = _np.zeros(n, complex)
+    H_nat[k_idx.ravel()] = Hs.ravel()
+    out = _np.zeros((u.shape[0], n_cells * G * hop), _np.float32)
+    for f in range(n_cells * G):
+        fr = u[:, f * hop : f * hop + n]
+        w = _np.fft.ifft(_np.fft.fft(fr, axis=-1) * H_nat[None, :] * n,
+                         axis=-1).real
+        out[:, f * hop : (f + 1) * hop] = w[:, p_pad:]
+    return jnp.asarray(out)
+
+
+def test_framed_wrapper_is_valid_ols(monkeypatch):
+    """df_ols_convolve_pallas5_framed (kernel stubbed with the host
+    model) == direct linear convolution of the unpadded signal."""
+    from r8brain_tpu.ops import pallas_dfft5 as mod
+
+    monkeypatch.setattr(
+        mod, "_convolve5_framed",
+        lambda u, plan, n_frames, interpret, transpose_mode:
+        _host_convolve5_framed(u, plan, n_frames, interpret,
+                               transpose_mode))
+    rng = np.random.default_rng(5)
+    n = 4096  # smallest framed-supported size
+    assert mod.framed_supported(n) and not mod.framed_supported(2048)
+    K = 700
+    k = rng.standard_normal(K)
+    plan = DfFFTConvPlan5(n, np.fft.fft(k, n) / n)
+    sig = rng.standard_normal((2, 9000))
+    u_p = jnp.asarray(np.pad(sig, ((0, 0), (plan.p_pad, 0))), jnp.float32)
+    n_frames = -(-9000 // plan.hop)
+    w = np.asarray(mod.df_ols_convolve_pallas5_framed(u_p, plan, n_frames),
+                   np.float64)[:, : 9000 - K]
+    ref = np.stack([np.convolve(sig[c], k)[: 9000 - K] for c in range(2)])
+    rel = 10 * np.log10(np.mean((w - ref) ** 2) / np.mean(ref**2))
+    assert rel < -135.0, rel
+
+
+def _host_convolve5_framed_poly(x_p, plan, n_frames, interpret,
+                                transpose_mode):
+    """Numpy stand-in for the polyphase framed kernel: per-frame circular
+    convolution with BOTH baked spectra, valid-only polyphase output."""
+    import numpy as _np
+
+    n, hop, p_pad, A = plan.n, plan.hop, plan.p_pad, plan.A
+    G = 2 * plan.T2
+    n_cells = -(-n_frames // G)
+    L_need = n_cells * G * hop + p_pad
+    u = _np.asarray(x_p, _np.float64)
+    if u.shape[1] < L_need:
+        u = _np.pad(u, ((0, 0), (0, L_need - u.shape[1])))
+    fA = _recover_freq_map(plan.planA, A)
+    fB = _recover_freq_map(plan.planB, LANES)
+    a_of_row = _np.arange(LANES) % A
+    k_idx = (fA[a_of_row][None, :] + A * fB[:, None]) % n
+    out = _np.zeros((u.shape[0], 2, n_cells * G * hop), _np.float32)
+    for p, planes in enumerate((plan.h_tw, plan.h_tw2)):
+        Hs = (planes[0] + planes[1]) + 1j * (planes[2] + planes[3])
+        H_nat = _np.zeros(n, complex)
+        H_nat[k_idx.ravel()] = Hs.ravel()
+        for f in range(n_cells * G):
+            fr = u[:, f * hop : f * hop + n]
+            w = _np.fft.ifft(_np.fft.fft(fr, axis=-1) * H_nat[None, :] * n,
+                             axis=-1).real
+            out[:, p, f * hop : (f + 1) * hop] = w[:, p_pad:]
+    return jnp.asarray(out)
+
+
+def test_framed_poly_wrapper_is_stuffed_conv(monkeypatch):
+    """Polyphase wrapper (kernel stubbed): interleaved output == linear
+    convolution of the zero-stuffed signal with the full kernel."""
+    from r8brain_tpu.ops import pallas_dfft5 as mod
+
+    monkeypatch.setattr(
+        mod, "_convolve5_framed_poly",
+        lambda x, plan, n_frames, interpret, transpose_mode:
+        _host_convolve5_framed_poly(x, plan, n_frames, interpret,
+                                    transpose_mode))
+    rng = np.random.default_rng(6)
+    n = 4096
+    K = 1500
+    k = rng.standard_normal(K)
+    plan = DfFFTConvPlan5(n, np.fft.fft(k[0::2], n) / n,
+                          np.fft.fft(k[1::2], n) / n)
+    sig = rng.standard_normal((2, 7000))
+    x_p = jnp.asarray(np.pad(sig, ((0, 0), (plan.p_pad, 0))), jnp.float32)
+    n_frames = -(-7000 // plan.hop)
+    wp = np.asarray(mod.df_ols_convolve_pallas5_framed_poly(
+        x_p, plan, n_frames), np.float64)
+    w = np.swapaxes(wp, 1, 2).reshape(2, -1)
+    u = np.zeros((2, 14000))
+    u[:, ::2] = sig
+    ref = np.stack([np.convolve(u[c], k)[:14000 - K] for c in range(2)])
+    m = ref.shape[1]
+    rel = 10 * np.log10(np.mean((w[:, :m] - ref) ** 2) / np.mean(ref**2))
+    assert rel < -135.0, rel
+
+
 def test_conv_exec_engine_reaches_kernel(monkeypatch):
     """ConvExec(engine="pallas_fft5") matches the f64 fft engine through
     the real stage framing (interpret mode, flagship first-stage spec)."""
@@ -120,13 +237,56 @@ def test_conv_exec_engine_reaches_kernel(monkeypatch):
         pallas_dfft5, "_convolve5",
         lambda x, plan, interpret, transpose_mode:
         _host_convolve5(x, plan, interpret, transpose_mode))
+    monkeypatch.setattr(
+        pallas_dfft5, "_convolve5_framed",
+        lambda u, plan, n_frames, interpret, transpose_mode:
+        _host_convolve5_framed(u, plan, n_frames, interpret,
+                               transpose_mode))
+    monkeypatch.setattr(
+        pallas_dfft5, "_convolve5_framed_poly",
+        lambda x, plan, n_frames, interpret, transpose_mode:
+        _host_convolve5_framed_poly(x, plan, n_frames, interpret,
+                                    transpose_mode))
 
-    spec = OracleResampler(44100, 96000, 4096, 2.0, 180.15, 0).plan.stages[0]
+    plan = OracleResampler(44100, 96000, 4096, 2.0, 180.15, 0).plan
+    spec = plan.stages[0]
     rng = np.random.default_rng(3)
     x = rng.standard_normal((2, 3000))
     ex5 = stages.ConvExec(spec, dtype=jnp.float32, precision="high",
                           engine="pallas_fft5")
     assert ex5.engine == "pallas_fft5"  # no silent fallback for this nfft
+    # flagship stage 0 is up=2 -> polyphase-folded in-VMEM OLS path
+    assert ex5.framed5_poly and not ex5.framed5
+    ex64 = stages.ConvExec(spec, dtype=jnp.float64)
+    y5 = np.asarray(ex5.apply(jnp.asarray(x, jnp.float32)), np.float64)
+    y64 = np.asarray(ex64.apply(jnp.asarray(x)))
+    rel = 10 * np.log10(np.mean((y5 - y64) ** 2) / np.mean(y64**2))
+    assert rel < -135.0, rel
+
+
+def test_conv_exec_framed_nonpoly(monkeypatch):
+    """A non-up=2 stage (96k->44.1k stage 1, up=1 down>1) takes the plain
+    framed in-VMEM OLS path and matches the f64 fft engine."""
+    from r8brain_tpu.models.oracle import OracleResampler
+    from r8brain_tpu.ops import pallas_dfft5, stages
+
+    monkeypatch.setattr(
+        pallas_dfft5, "_convolve5_framed",
+        lambda u, plan, n_frames, interpret, transpose_mode:
+        _host_convolve5_framed(u, plan, n_frames, interpret,
+                               transpose_mode))
+
+    plan = OracleResampler(96000, 44100, 4096, 2.0, 180.15, 0).plan
+    spec = next(s for s in plan.stages
+                if s.kind == "conv" and s.up != 2)
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((2, 3000))
+    ex5 = stages.ConvExec(spec, dtype=jnp.float32, precision="high",
+                          engine="pallas_fft5")
+    if ex5.engine != "pallas_fft5" or not ex5.framed5:
+        import pytest
+        pytest.skip(f"stage geometry not framed5-eligible "
+                    f"(engine={ex5.engine})")
     ex64 = stages.ConvExec(spec, dtype=jnp.float64)
     y5 = np.asarray(ex5.apply(jnp.asarray(x, jnp.float32)), np.float64)
     y64 = np.asarray(ex64.apply(jnp.asarray(x)))
