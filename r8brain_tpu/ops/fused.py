@@ -52,10 +52,20 @@ def can_fuse(plan: Plan) -> bool:
     return len(s) == 2 and _pair_fusable(s[0], s[1])
 
 
+def _poly_pair_fusable(a, b, dtype, engine) -> bool:
+    # fused poly composite (ops/poly_fused.py): f32 matmul engines only —
+    # f64 keeps the bit-exact two-stage gather chain
+    return (isinstance(a, ConvStage) and a.down == 1
+            and isinstance(b, FracStage) and not b.is_whole
+            and jnp.dtype(dtype) == jnp.float32
+            and engine in ("auto", "toeplitz", "matmul"))
+
+
 def fuse_stage_list(plan: Plan, dtype, precision, build_exec,
                     engine: str = "auto"):
     """Executor list for the plan with every adjacent [conv(up, down=1),
-    whole-frac] pair replaced by a FusedUpExec.  Mid-chain pairs are valid:
+    whole-frac] pair replaced by a FusedUpExec (and every [conv(down=1),
+    poly-frac] pair by a FusedPolyExec on f32).  Mid-chain pairs are valid:
     a pair's input stream starts at absolute zero of ITS input (upstream
     stages emit from stream start), which is exactly the fused executor's
     stream-start semantics.  Returns None if nothing fuses."""
@@ -70,6 +80,14 @@ def fuse_stage_list(plan: Plan, dtype, precision, build_exec,
                        (stages[i], stages[i + 1]),
                        stages[i + 1].latency_frac_out)
             execs.append(FusedUpExec(sub, dtype, precision, engine=engine))
+            fused_any = True
+            i += 2
+        elif (i + 1 < len(stages)
+              and _poly_pair_fusable(stages[i], stages[i + 1], dtype,
+                                     engine)):
+            from .poly_fused import FusedPolyExec
+            execs.append(FusedPolyExec(stages[i], stages[i + 1], dtype,
+                                       precision))
             fused_any = True
             i += 2
         else:

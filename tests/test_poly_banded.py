@@ -48,7 +48,10 @@ def test_banded_matches_gather(label, src, dst, dtype, tol):
 
 
 def test_banded_default_for_f32_chain():
-    rs = Resampler(44100, 96001, 2.0, 180.15, 0, dtype=jnp.float32)
+    # fused=False: the default f32 chain replaces the pair with
+    # FusedPolyExec (tests/test_poly_fused.py); unfused keeps banded
+    rs = Resampler(44100, 96001, 2.0, 180.15, 0, dtype=jnp.float32,
+                   fused=False)
     poly = [e for e in rs.execs if isinstance(e, FracPolyExec)]
     assert poly and poly[0].engine == "banded"
     rs64 = Resampler(44100, 96001, 2.0, 180.15, 0, dtype=jnp.float64)
