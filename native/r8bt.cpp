@@ -115,12 +115,20 @@ class CFFT {
         for (int i = 1; i < n; ++i)
             rev[(size_t)i] = (rev[(size_t)(i >> 1)] >> 1)
                              | ((i & 1) << (lg - 1));
-        wre.assign((size_t)(n / 2), 0.0);
-        wim.assign((size_t)(n / 2), 0.0);
-        for (int i = 0; i < n / 2; ++i) {
-            double a = -2.0 * 3.14159265358979323846 * i / n;
-            wre[(size_t)i] = std::cos(a);
-            wim[(size_t)i] = std::sin(a);
+        /* contiguous per-stage twiddles (w^j, j < len/2, for each len):
+         * unit-stride loads in the butterfly loop auto-vectorize; the
+         * original j*step strided access into one shared table did not */
+        stwr.clear();
+        stwi.clear();
+        for (int len = 8; len <= n; len <<= 1) {
+            std::vector<double> tr((size_t)(len / 2)), ti((size_t)(len / 2));
+            for (int j = 0; j < len / 2; ++j) {
+                double a = -2.0 * 3.14159265358979323846 * j / len;
+                tr[(size_t)j] = std::cos(a);
+                ti[(size_t)j] = std::sin(a);
+            }
+            stwr.push_back(std::move(tr));
+            stwi.push_back(std::move(ti));
         }
     }
     /* in-place; inv=true computes the UNSCALED inverse (scaling is folded
@@ -133,24 +141,106 @@ class CFFT {
                 std::swap(im[i], im[j]);
             }
         }
-        for (int len = 2; len <= n; len <<= 1) {
-            int half = len >> 1;
-            int step = n / len;
+        /* len == 2: w = 1 — pure add/sub over adjacent pairs */
+        if (n >= 2) {
+            for (int i = 0; i < n; i += 2) {
+                double ur = re[i], ui = im[i];
+                double vr = re[i + 1], vi = im[i + 1];
+                re[i] = ur + vr;
+                im[i] = ui + vi;
+                re[i + 1] = ur - vr;
+                im[i + 1] = ui - vi;
+            }
+        }
+        /* len == 4: w = {1, -i} (forward) / {1, +i} (inverse) */
+        if (n >= 4) {
+            const double sgn = inv ? -1.0 : 1.0;
+            for (int i = 0; i < n; i += 4) {
+                double ur = re[i], ui = im[i];
+                double vr = re[i + 2], vi = im[i + 2];
+                re[i] = ur + vr;
+                im[i] = ui + vi;
+                re[i + 2] = ur - vr;
+                im[i + 2] = ui - vi;
+                ur = re[i + 1];
+                ui = im[i + 1];
+                /* x = v * (-+i): forward (vi, -vr), inverse (-vi, vr) */
+                double xr = sgn * im[i + 3];
+                double xi = -sgn * re[i + 3];
+                re[i + 1] = ur + xr;
+                im[i + 1] = ui + xi;
+                re[i + 3] = ur - xr;
+                im[i + 3] = ui - xi;
+            }
+        }
+        /* remaining stages in radix-2^2 pairs (L, 2L): identical math to
+         * two radix-2 passes but ONE sweep over re/im — the butterflies
+         * are memory-bound at these lengths, so halving the passes is
+         * the win (same trick as fft4g's combined cftmdl levels) */
+        const double s2 = inv ? -1.0 : 1.0;
+        size_t st = 0;
+        int len = 8;
+        for (; 2 * len <= n; len <<= 2, st += 2) {
+            const int L = len, h = len >> 1;
+            const double *tLr = stwr[st].data();
+            const double *tLi = stwi[st].data();
+            const double *tHr = stwr[st + 1].data();
+            const double *tHi = stwi[st + 1].data();
+            for (int i = 0; i < n; i += 2 * L) {
+                double *ra = re + i, *ia = im + i;
+                double *rb = ra + h, *ib = ia + h;
+                double *rc = ra + L, *ic = ia + L;
+                double *rd = rc + h, *id_ = ic + h;
+                for (int j = 0; j < h; ++j) {
+                    double wr = tLr[j], wi = s2 * tLi[j];
+                    double w1r = tHr[j], w1i = s2 * tHi[j];
+                    /* w2 = w1 * (-+i) */
+                    double w2r = s2 * w1i, w2i = -s2 * w1r;
+                    double ar = ra[j], ai = ia[j];
+                    double br = rb[j], bi = ib[j];
+                    double cr = rc[j], ci = ic[j];
+                    double dr = rd[j], di = id_[j];
+                    double tbr = br * wr - bi * wi;
+                    double tbi = br * wi + bi * wr;
+                    double tdr = dr * wr - di * wi;
+                    double tdi = dr * wi + di * wr;
+                    double a1r = ar + tbr, a1i = ai + tbi;
+                    double b1r = ar - tbr, b1i = ai - tbi;
+                    double c1r = cr + tdr, c1i = ci + tdi;
+                    double d1r = cr - tdr, d1i = ci - tdi;
+                    double pcr = c1r * w1r - c1i * w1i;
+                    double pci = c1r * w1i + c1i * w1r;
+                    ra[j] = a1r + pcr;
+                    ia[j] = a1i + pci;
+                    rc[j] = a1r - pcr;
+                    ic[j] = a1i - pci;
+                    double pdr = d1r * w2r - d1i * w2i;
+                    double pdi = d1r * w2i + d1i * w2r;
+                    rb[j] = b1r + pdr;
+                    ib[j] = b1i + pdi;
+                    rd[j] = b1r - pdr;
+                    id_[j] = b1i - pdi;
+                }
+            }
+        }
+        /* odd leftover stage (log2(n/4) odd): plain radix-2 */
+        if (len <= n) {
+            const int half = len >> 1;
+            const double *twr_ = stwr[st].data();
+            const double *twi_ = stwi[st].data();
             for (int i = 0; i < n; i += len) {
-                const double *tr = wre.data();
-                const double *ti = wim.data();
+                double *r0 = re + i, *i0 = im + i;
+                double *r1 = re + i + half, *i1 = im + i + half;
                 for (int j = 0; j < half; ++j) {
-                    double twr = tr[(size_t)(j * step)];
-                    double twi = ti[(size_t)(j * step)];
-                    if (inv) twi = -twi;
-                    double ur = re[i + j], ui = im[i + j];
-                    double vr = re[i + j + half], vi = im[i + j + half];
+                    double twr = twr_[j], twi = s2 * twi_[j];
+                    double ur = r0[j], ui = i0[j];
+                    double vr = r1[j], vi = i1[j];
                     double xr = vr * twr - vi * twi;
                     double xi = vr * twi + vi * twr;
-                    re[i + j] = ur + xr;
-                    im[i + j] = ui + xi;
-                    re[i + j + half] = ur - xr;
-                    im[i + j + half] = ui - xi;
+                    r0[j] = ur + xr;
+                    i0[j] = ui + xi;
+                    r1[j] = ur - xr;
+                    i1[j] = ui - xi;
                 }
             }
         }
@@ -159,7 +249,7 @@ class CFFT {
 
   private:
     std::vector<int> rev;
-    std::vector<double> wre, wim;
+    std::vector<std::vector<double>> stwr, stwi;
 };
 
 class Stage {
@@ -277,15 +367,37 @@ class ConvStage : public Stage {
             wc.insert(wc.end(), blk.begin() + s0, blk.end());
             wcEnd = wcT0 + (long)wc.size();
         }
+        /* stream head (inputs still arriving): a head FFT block would be
+         * recomputed on every process() call until its window completes,
+         * so below ~1/8 block of head outputs the reversed per-phase
+         * direct dot is cheaper (unit-stride kernel x unit-stride
+         * history) */
         long headB = -1;  /* transient block for the stream head */
+        bool headDirect = false;
         if (wcEnd <= t_hi) {
-            headB = wcEnd / (hop * up);
-            computeBlock(headB);
+            long headCnt = (t_hi - wcEnd) / down + 1;
+            headDirect = headCnt * Kx < (long)nfft * 10;
+            if (!headDirect) {
+                headB = wcEnd / (hop * up);
+                computeBlock(headB);
+            }
         }
         for (long r = n0; r < n1; ++r) {
             long t = r * down + off;
             if (t < wcEnd) {
                 out[r - n0] = wc[(size_t)(t - wcT0)];
+            } else if (headDirect) {
+                long ph = t % up, nhi = t / up;
+                const double *kr = krev[(size_t)ph].data();
+                const double *w = hist.raw(nhi - Kx + 1, Kx);
+                double acc = 0.0;
+                if (w) {
+                    for (long j = 0; j < Kx; ++j) acc += kr[j] * w[j];
+                } else {
+                    for (long j = 0; j < Kx; ++j)
+                        acc += kr[j] * hist.at(nhi - Kx + 1 + j);
+                }
+                out[r - n0] = acc;
             } else {
                 long b = t / (hop * up);
                 if (b != headB) {  /* emit range can cross one boundary */
@@ -316,6 +428,17 @@ class ConvStage : public Stage {
         }
         zre.assign((size_t)(nf / 2), 0.0);
         zim.assign((size_t)(nf / 2), 0.0);
+        /* reversed per-phase kernels for the direct head path:
+         * w[nhi*up + ph] = sum_j krev[ph][j] * x[nhi - Kx + 1 + j] */
+        krev.assign((size_t)up, {});
+        for (long ph = 0; ph < up; ++ph) {
+            std::vector<double> kr((size_t)Kx, 0.0);
+            for (long j = 0; j < Kx; ++j) {
+                long m = ph + up * (Kx - 1 - j);
+                if (m < K) kr[(size_t)j] = k[(size_t)m];
+            }
+            krev[(size_t)ph] = std::move(kr);
+        }
         spRe.assign((size_t)up, {});
         spIm.assign((size_t)up, {});
         std::vector<double> re((size_t)nf), im((size_t)nf);
@@ -411,7 +534,7 @@ class ConvStage : public Stage {
     int nfft = 0;
     long hop = 0;
     CFFT fft, fftHalf;
-    std::vector<std::vector<double>> spRe, spIm;
+    std::vector<std::vector<double>> spRe, spIm, krev;
     std::vector<double> xre, xim, yre, yim, blk;
     std::vector<double> zre, zim, utwRe, utwIm;
     std::vector<double> wc;  /* cached w stream, absolute t = wcT0.. */
@@ -503,21 +626,50 @@ class FracWholeStage : public Stage {
     }
     void emit(double *out, long n0, long n1) override {
         long fll = fl2() - 1;
+        /* incremental phase stepping (no div/mod per output) + fixed-
+         * length tap dots the compiler can unroll/vectorize — the same
+         * two optimizations as the reference's whole-stepping fast path
+         * (convolve0<FL> templates + PosIncr stepping,
+         * CDSPFracInterpolator.h:991-1060) */
+        long g0 = w0 + n0 * inStep;
+        long s = g0 / outStep;
+        long f = g0 % outStep;
+        const long sInc = inStep / outStep, fInc = inStep % outStep;
         for (long n = n0; n < n1; ++n) {
-            long g = w0 + n * inStep;
-            long s = g / outStep;
-            long f = g % outStep;
             const double *flt = &table[(size_t)(f * fl)];
             const double *w = hist.raw(s - fll, fl);
             double acc = 0.0;
             if (w) {
-                for (long i = 0; i < fl; ++i) acc += flt[i] * w[i];
+                switch (fl) {
+                  case 14: acc = dotf<14>(flt, w); break;
+                  case 18: acc = dotf<18>(flt, w); break;
+                  case 20: acc = dotf<20>(flt, w); break;
+                  case 24: acc = dotf<24>(flt, w); break;
+                  case 28: acc = dotf<28>(flt, w); break;
+                  case 30: acc = dotf<30>(flt, w); break;
+                  default:
+                    for (long i = 0; i < fl; ++i) acc += flt[i] * w[i];
+                }
             } else {
                 for (long i = 0; i < fl; ++i)
                     acc += flt[i] * hist.at(s - fll + i);
             }
             out[n - n0] = acc;
+            s += sInc;
+            f += fInc;
+            if (f >= outStep) {
+                f -= outStep;
+                ++s;
+            }
         }
+    }
+
+  private:
+    template <int FL>
+    static double dotf(const double *flt, const double *w) {
+        double acc = 0.0;
+        for (int i = 0; i < FL; ++i) acc += flt[i] * w[i];
+        return acc;
     }
 };
 

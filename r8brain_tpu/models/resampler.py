@@ -71,21 +71,24 @@ class Resampler:
         trace_plan(self.plan, context=f"resampler dtype={self.dtype} "
                                       f"precision={precision}")
         self.execs = None
-        if fused == "auto":
+        fuse_poly = fused == "poly"  # opt-in FusedPolyExec (ops/poly_fused)
+        if fused == "auto" or fuse_poly:
             # f32 fast AND high: the fused composite (with its cheap
             # residual pass in high mode) is the fastest configuration
             # meeting each precision class's bound — the -141 dB class
             # must not default to a slow engine (VERDICT r1 weak #2)
             fused = (self.dtype == jnp.float32
                      and precision in ("fast", "high")
-                     and conv_engine == "auto" and frac_engine == "auto")
+                     and conv_engine == "auto" and frac_engine == "auto"
+                     ) or fuse_poly
         import functools
         bld = functools.partial(build_exec, conv_engine=conv_engine,
                                 frac_engine=frac_engine)
         if fused:
             from ..ops.fused import fuse_stage_list
             self.execs = fuse_stage_list(self.plan, self.dtype, precision,
-                                         bld, engine=conv_engine)
+                                         bld, engine=conv_engine,
+                                         poly=fuse_poly)
         if self.execs is None:
             self.execs = [bld(s, self.dtype, precision)
                           for s in self.plan.stages]

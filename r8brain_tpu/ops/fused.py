@@ -52,17 +52,21 @@ def can_fuse(plan: Plan) -> bool:
     return len(s) == 2 and _pair_fusable(s[0], s[1])
 
 
-def _poly_pair_fusable(a, b, dtype, engine) -> bool:
+def _poly_pair_fusable(a, b, dtype, engine, poly) -> bool:
     # fused poly composite (ops/poly_fused.py): f32 matmul engines only —
-    # f64 keeps the bit-exact two-stage gather chain
-    return (isinstance(a, ConvStage) and a.down == 1
+    # f64 keeps the bit-exact two-stage gather chain.  NOT fused by
+    # default: the composite saves 2.9x MACs but its on-device operator
+    # build (24 gather-accumulate passes over ~170 MB) measured 971 Mrops
+    # vs the two-stage banded chain's 2190 on chip — opt in with
+    # Resampler(fused="poly") until the build beats the gathers.
+    return (poly and isinstance(a, ConvStage) and a.down == 1
             and isinstance(b, FracStage) and not b.is_whole
             and jnp.dtype(dtype) == jnp.float32
             and engine in ("auto", "toeplitz", "matmul"))
 
 
 def fuse_stage_list(plan: Plan, dtype, precision, build_exec,
-                    engine: str = "auto"):
+                    engine: str = "auto", poly: bool = False):
     """Executor list for the plan with every adjacent [conv(up, down=1),
     whole-frac] pair replaced by a FusedUpExec (and every [conv(down=1),
     poly-frac] pair by a FusedPolyExec on f32).  Mid-chain pairs are valid:
@@ -84,7 +88,7 @@ def fuse_stage_list(plan: Plan, dtype, precision, build_exec,
             i += 2
         elif (i + 1 < len(stages)
               and _poly_pair_fusable(stages[i], stages[i + 1], dtype,
-                                     engine)):
+                                     engine, poly)):
             from .poly_fused import FusedPolyExec
             execs.append(FusedPolyExec(stages[i], stages[i + 1], dtype,
                                        precision))

@@ -570,13 +570,41 @@ class ConvExec:
 
 
 class HBUpExec:
-    """Half-band 2X upsampler: y[2n] = x[n]; y[2n+1] = symmetric stencil."""
+    """Half-band 2X upsampler: y[2n] = x[n]; y[2n+1] = symmetric stencil.
 
-    def __init__(self, spec: HBUpStage, dtype=jnp.float32):
+    Engines (same rationale as HBDownExec):
+    * "matmul" (f32 default) — framed matmul against a [B + 2*nt, 2*B]
+      operator whose even columns are the identity and odd columns the
+      symmetric stencil.  The matmul writes the INTERLEAVED pair stream
+      directly, so the per-stage even/odd interleave relayout (a lane
+      shuffle as slow as the decimator's deinterleave on TPU) never
+      executes.
+    * "stencil" (f64 / reference form) — shifted-add + stack interleave,
+      bit-matching the oracle (CDSPHBUpsampler.inc:5-7 symmetry).
+    """
+
+    def __init__(self, spec: HBUpStage, dtype=jnp.float32,
+                 engine: str = "auto", block: int = 128):
         self.spec = spec
         self.dtype = jnp.dtype(dtype)
         self.taps = np.asarray(spec.hb.taps, dtype=np.float64).astype(dtype)
         self.nt = spec.hb.num_taps
+        if engine == "auto":
+            engine = "matmul" if self.dtype == jnp.float32 else "stencil"
+        self.engine = engine
+        self.B = block
+        if engine == "matmul":
+            nt, B = self.nt, self.B
+            t64 = np.asarray(spec.hb.taps, dtype=np.float64)
+            L_f = B + 2 * nt
+            T = np.zeros((L_f, 2 * B), dtype=np.float64)
+            for j in range(B):
+                T[j + nt, 2 * j] = 1.0  # even output: center sample
+                for i in range(nt):
+                    T[j + nt + 1 + i, 2 * j + 1] += t64[i]
+                    T[j + nt - i, 2 * j + 1] += t64[i]
+            self.T = T.astype(self.dtype)
+            self.L_f = L_f
 
     def out_len(self, n_in: int) -> int:
         return stage_out_len(self.spec, n_in)
@@ -589,7 +617,17 @@ class HBUpExec:
         nt, lat = self.nt, self.spec.out_latency
         x = x.astype(self.dtype)
         n_pairs = N - nt
-        # symmetric shifted-add stencil (half the multiplies, the same
+        if self.engine == "matmul":
+            B, L_f = self.B, self.L_f
+            n_blocks = -(-n_pairs // B)
+            # pair n reads x[n - nt + l], l in [1, 2*nt]; xp[k] = x[k - nt]
+            need = (n_blocks - 1) * B + L_f - nt
+            pad_r = max(0, need - N)
+            xp = jnp.pad(x, ((0, 0), (nt, pad_r)))
+            y3 = _framed_matmul(xp, jnp.asarray(self.T), n_blocks, B)
+            pre = y3.reshape(C, n_blocks * 2 * B)
+            return pre[:, lat : lat + M]
+        # stencil: symmetric shifted-add (half the multiplies, the same
         # exploitation of tap symmetry as the reference's genhbc kernels,
         # CDSPHBUpsampler.inc:5-7); XLA fuses the nt slice-adds into one
         # VPU pass — no convolution lowering involved

@@ -76,12 +76,18 @@ def test_fused_poly_high_residual():
     assert d_high <= d_fast + 1.0  # residual never hurts
 
 
-def test_fused_poly_default_in_chain():
-    """The f32 resampler fuses the poly pair by default; f64 keeps the
-    two-stage gather chain."""
-    rs = Resampler(44100, 96001, 2.0, 180.15, 0, dtype=jnp.float32)
+def test_fused_poly_opt_in_wiring():
+    """fused="poly" opts the f32 chain into FusedPolyExec (not yet the
+    default: the operator build measured slower than the two-stage
+    banded chain on chip); f64 and the default keep the two-stage
+    chain."""
+    rs = Resampler(44100, 96001, 2.0, 180.15, 0, dtype=jnp.float32,
+                   fused="poly")
     assert any(isinstance(e, FusedPolyExec) for e in rs.execs)
-    rs64 = Resampler(44100, 96001, 2.0, 180.15, 0, dtype=jnp.float64)
+    rs_def = Resampler(44100, 96001, 2.0, 180.15, 0, dtype=jnp.float32)
+    assert not any(isinstance(e, FusedPolyExec) for e in rs_def.execs)
+    rs64 = Resampler(44100, 96001, 2.0, 180.15, 0, dtype=jnp.float64,
+                     fused="poly")
     assert not any(isinstance(e, FusedPolyExec) for e in rs64.execs)
 
 
@@ -96,7 +102,7 @@ def test_fused_poly_chain_vs_oracle(precision):
     out_len = int(np.floor(n * dst / src))
     ref = orc.oneshot(x, out_len)
     rs = Resampler(src, dst, 2.0, 180.15, 0, dtype=jnp.float32,
-                   precision=precision)
+                   precision=precision, fused="poly")
     assert any(isinstance(e, FusedPolyExec) for e in rs.execs)
     y = np.asarray(rs.oneshot(x.astype(np.float32), out_len), np.float64)
     d = rms_db(y - ref)
