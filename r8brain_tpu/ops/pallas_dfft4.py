@@ -220,6 +220,52 @@ def _cmul(ar, ai, br, bi):
     return rr, ii
 
 
+# -- constant-operand forms: the Dekker split of a CONSTANT df operand
+# (twiddle / four-step factor / kernel spectrum) is precomputed on the
+# host, and the runtime split of the variable operand is shared across
+# the four products of a complex multiply.  Bit-identical results to
+# _df_mul/_cmul (same operations in the same order, only the constant's
+# split moved to plan-build time) at ~2/3 the flops.
+
+def _split_rt(a):
+    t = _SPLIT * a
+    ah = t - (t - a)
+    return ah, a - ah
+
+
+def _df_mul_pc(a, a_sp, b4):
+    """a (df) * constant b4 = (bh, bh_a, bh_b, b_lo), bh == bh_a + bh_b
+    the precomputed split; a_sp = _split_rt(a[0])."""
+    bh, bh_a, bh_b, b_lo = b4
+    ah, al = a_sp
+    p = a[0] * bh
+    e = ((ah * bh_a - p) + ah * bh_b + al * bh_a) + al * bh_b
+    return _quick(p, e + (a[0] * b_lo + a[1] * bh))
+
+
+def _neg4(b4):
+    return (-b4[0], -b4[1], -b4[2], -b4[3])
+
+
+def _cmul_pc(ar, ai, br4, bi4):
+    ar_sp = _split_rt(ar[0])
+    ai_sp = _split_rt(ai[0])
+    rr = _df_sub(_df_mul_pc(ar, ar_sp, br4), _df_mul_pc(ai, ai_sp, bi4))
+    ii = _df_add(_df_mul_pc(ar, ar_sp, bi4), _df_mul_pc(ai, ai_sp, br4))
+    return rr, ii
+
+
+def _split64_pc(v: np.ndarray):
+    """8-plane constant layout: (hi, hi_a, hi_b, lo) for one component,
+    with (hi_a, hi_b) the f32 Dekker split of hi (bit-identical to the
+    in-kernel _two_prod split)."""
+    hi, lo = _split64(v)
+    t = np.float32(4097.0) * hi
+    hi_a = (t - (t - hi)).astype(np.float32)
+    hi_b = (hi - hi_a).astype(np.float32)
+    return hi, hi_a, hi_b, lo
+
+
 def _roll(v, axis, shift):
     size = v.shape[axis]
     return pltpu.roll(v, (-shift) % size, axis)

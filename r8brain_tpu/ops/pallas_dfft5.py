@@ -60,7 +60,8 @@ try:
 except Exception:  # pragma: no cover
     HAVE_PALLAS = False
 
-from .pallas_dfft4 import (_cmul, _df_add, _df_neg, _df_sub, _split64)
+from .pallas_dfft4 import (_cmul_pc, _df_add, _df_neg, _df_sub, _neg4,
+                           _split64_pc)
 
 __all__ = ["HAVE_PALLAS", "DfFFTConvPlan5", "df_ols_convolve_pallas5",
            "df_ols_convolve_pallas5_framed",
@@ -236,9 +237,11 @@ class DfFFTConvPlan5:
         self.planA = _part_plan(A)
         self.planB = _part_plan(LANES)
 
-        # stage twiddle planes, [S, 4, 128, 128] f32:
-        # planes 0/1 = w.re hi/lo, 2/3 = w.im hi/lo, per OUTPUT row of the
-        # stacked [128, 128] cell layout.  Rows in quarter c carry w^c.
+        # stage twiddle planes, [S, 8, 128, 128] f32: per component
+        # (re, im) the 4-tuple (hi, hi_a, hi_b, lo) with (hi_a, hi_b) the
+        # PRECOMPUTED Dekker split (ops/pallas_dfft4._split64_pc) — the
+        # in-kernel constant-operand multiply then skips the runtime
+        # split, bit-identically.  Rows in quarter c carry w^c.
         def stage_planes(plan, part_len, tile):
             out = []
             r_idx = np.arange(LANES)
@@ -248,12 +251,10 @@ class DfFFTConvPlan5:
                 j = a % h
                 ang = 2.0 * np.pi * (c * j) / float(radix * h)
                 w = np.exp(-1j * ang)  # forward; inverse = conj in-kernel
-                rh, rl = _split64(w.real)
-                ih, il = _split64(w.imag)
-                pl4 = np.stack([rh, rl, ih, il])  # [4, 128]
-                out.append(np.repeat(pl4[:, :, None], LANES, axis=2))
+                pl8 = np.stack(_split64_pc(w.real) + _split64_pc(w.imag))
+                out.append(np.repeat(pl8[:, :, None], LANES, axis=2))
                 # quarter masks for roll stages ride along as f32 rows
-            return np.stack(out)  # [S, 4, 128, 128]
+            return np.stack(out)  # [S, 8, 128, 128]
 
         self.twA = stage_planes(self.planA, A, tile=True)
         self.twB = stage_planes(self.planB, LANES, tile=False)
@@ -278,7 +279,7 @@ class DfFFTConvPlan5:
         a_of_row = np.arange(LANES) % A
         i2 = np.arange(LANES)[None, :]
         fs = np.exp(-2j * np.pi * fA[a_of_row][:, None] * i2 / float(n))
-        self.fstep = np.stack(_split64(fs.real) + _split64(fs.imag))
+        self.fstep = np.stack(_split64_pc(fs.real) + _split64_pc(fs.imag))
 
         # spectrum in the post-transpose [B, T2*A] layout:
         # row rb holds B-part frequency fB[rb]; lane t2*A + a holds
@@ -286,10 +287,11 @@ class DfFFTConvPlan5:
         fB = _recover_freq_map(self.planB, LANES)
         k_idx = (fA[a_of_row][None, :] + A * fB[:, None]) % n
         Hs = np.asarray(H_full, dtype=np.complex128)[k_idx]
-        self.h_tw = np.stack(_split64(Hs.real) + _split64(Hs.imag))
+        self.h_tw = np.stack(_split64_pc(Hs.real) + _split64_pc(Hs.imag))
         if H_full2 is not None:
             H2 = np.asarray(H_full2, dtype=np.complex128)[k_idx]
-            self.h_tw2 = np.stack(_split64(H2.real) + _split64(H2.imag))
+            self.h_tw2 = np.stack(_split64_pc(H2.real)
+                                  + _split64_pc(H2.imag))
         else:
             self.h_tw2 = None
 
@@ -298,6 +300,10 @@ class DfFFTConvPlan5:
 
 def _dfsl(a, s, h):
     return (a[0][s : s + h], a[1][s : s + h])
+
+
+def _dfsl4(b4, s, h):
+    return tuple(x[s : s + h] for x in b4)
 
 
 def _dfcat(parts):
@@ -316,9 +322,9 @@ def _r4_direct(re, im, h, wr, wi, inv: bool):
         if inv:  # DIT: un-twiddle quarters first (conj twiddle)
             for c in range(1, 4):
                 rc, ic = xs[c]
-                wrc = _dfsl(wr, b0 + c * h, h)
-                wic = _dfsl(wi, b0 + c * h, h)
-                xs[c] = _cmul(rc, ic, wrc, (-wic[0], -wic[1]))
+                wrc = _dfsl4(wr, b0 + c * h, h)
+                wic = _dfsl4(wi, b0 + c * h, h)
+                xs[c] = _cmul_pc(rc, ic, wrc, _neg4(wic))
         (r0, i0), (r1, i1), (r2_, i2_), (r3, i3) = xs
         t0r, t0i = _df_add(r0, r2_), _df_add(i0, i2_)
         t1r, t1i = _df_add(r1, r3), _df_add(i1, i3)
@@ -337,9 +343,9 @@ def _r4_direct(re, im, h, wr, wi, inv: bool):
         for c in range(4):
             yr, yi = ys[c]
             if not inv and c:
-                wrc = _dfsl(wr, b0 + c * h, h)
-                wic = _dfsl(wi, b0 + c * h, h)
-                yr, yi = _cmul(yr, yi, wrc, wic)
+                wrc = _dfsl4(wr, b0 + c * h, h)
+                wic = _dfsl4(wi, b0 + c * h, h)
+                yr, yi = _cmul_pc(yr, yi, wrc, wic)
             pr.append(yr)
             pi.append(yi)
     return _dfcat(pr), _dfcat(pi)
@@ -351,16 +357,16 @@ def _r2_direct(re, im, h, wr, wi, inv: bool):
     for b0 in range(0, R, 2 * h):
         x0r, x0i = _dfsl(re, b0, h), _dfsl(im, b0, h)
         x1r, x1i = _dfsl(re, b0 + h, h), _dfsl(im, b0 + h, h)
-        wrc = _dfsl(wr, b0 + h, h)
-        wic = _dfsl(wi, b0 + h, h)
+        wrc = _dfsl4(wr, b0 + h, h)
+        wic = _dfsl4(wi, b0 + h, h)
         if inv:
-            x1r, x1i = _cmul(x1r, x1i, wrc, (-wic[0], -wic[1]))
+            x1r, x1i = _cmul_pc(x1r, x1i, wrc, _neg4(wic))
             y0r, y0i = _df_add(x0r, x1r), _df_add(x0i, x1i)
             y1r, y1i = _df_sub(x0r, x1r), _df_sub(x0i, x1i)
         else:
             y0r, y0i = _df_add(x0r, x1r), _df_add(x0i, x1i)
-            y1r, y1i = _cmul(_df_sub(x0r, x1r), _df_sub(x0i, x1i),
-                             wrc, wic)
+            y1r, y1i = _cmul_pc(_df_sub(x0r, x1r), _df_sub(x0i, x1i),
+                                wrc, wic)
         pr += [y0r, y1r]
         pi += [y0i, y1i]
     return _dfcat(pr), _dfcat(pi)
@@ -389,7 +395,7 @@ def _sel4(c, v0, v1, v2, v3):
 def _r4_roll(re, im, h, c, wr, wi, inv: bool):
     """Sub-tile radix-4 stage: roll + select network (v2 form, 2-D)."""
     if inv:
-        re, im = _cmul(re, im, wr, (-wi[0], -wi[1]))
+        re, im = _cmul_pc(re, im, wr, _neg4(wi))
     R = {k: (_shift_df(re, k * h), _shift_df(im, k * h)) for k in (1, 2, 3)}
     L = {k: (_shift_df(re, -k * h), _shift_df(im, -k * h))
          for k in (1, 2, 3)}
@@ -417,7 +423,7 @@ def _r4_roll(re, im, h, c, wr, wi, inv: bool):
     yr = _df_add(t1r, mu_r)
     yi = _df_add(t1i, mu_i)
     if not inv:
-        yr, yi = _cmul(yr, yi, wr, wi)
+        yr, yi = _cmul_pc(yr, yi, wr, wi)
     return yr, yi
 
 
@@ -464,8 +470,8 @@ def _make_kernel5(plan: "DfFFTConvPlan5", transpose_mode: str,
             stages = list(reversed(stages))
         for idx, (radix, h) in stages:
             s = s0 + idx
-            wr = (tw_ref[s, 0], tw_ref[s, 1])
-            wi = (tw_ref[s, 2], tw_ref[s, 3])
+            wr = (tw_ref[s, 0], tw_ref[s, 1], tw_ref[s, 2], tw_ref[s, 3])
+            wi = (tw_ref[s, 4], tw_ref[s, 5], tw_ref[s, 6], tw_ref[s, 7])
             if h >= TILE:
                 if radix == 4:
                     re, im = _r4_direct(re, im, h, wr, wi, inv)
@@ -481,21 +487,21 @@ def _make_kernel5(plan: "DfFFTConvPlan5", transpose_mode: str,
 
     def forward(re, im, tw_ref, msk_ref, fs_ref):
         re, im = apply_part(re, im, planA, 0, tw_ref, msk_ref, False)
-        fr = (fs_ref[0], fs_ref[1])
-        fi = (fs_ref[2], fs_ref[3])
-        re, im = _cmul(re, im, fr, fi)
+        fr = (fs_ref[0], fs_ref[1], fs_ref[2], fs_ref[3])
+        fi = (fs_ref[4], fs_ref[5], fs_ref[6], fs_ref[7])
+        re, im = _cmul_pc(re, im, fr, fi)
         re, im = _tr_df(re), _tr_df(im)
         return apply_part(re, im, planB, SA, tw_ref, msk_ref, False)
 
     def inverse(re, im, tw_ref, msk_ref, fs_ref, h_ref):
-        hr = (h_ref[0], h_ref[1])
-        hi_ = (h_ref[2], h_ref[3])
-        re, im = _cmul(re, im, hr, hi_)
+        hr = (h_ref[0], h_ref[1], h_ref[2], h_ref[3])
+        hi_ = (h_ref[4], h_ref[5], h_ref[6], h_ref[7])
+        re, im = _cmul_pc(re, im, hr, hi_)
         re, im = apply_part(re, im, planB, SA, tw_ref, msk_ref, True)
         re, im = _tr_df(re), _tr_df(im)
-        fr = (fs_ref[0], fs_ref[1])
-        fi = (fs_ref[2], fs_ref[3])
-        re, im = _cmul(re, im, fr, (-fi[0], -fi[1]))
+        fr = (fs_ref[0], fs_ref[1], fs_ref[2], fs_ref[3])
+        fi = (fs_ref[4], fs_ref[5], fs_ref[6], fs_ref[7])
+        re, im = _cmul_pc(re, im, fr, _neg4(fi))
         re, im = apply_part(re, im, planA, 0, tw_ref, msk_ref, True)
         return re[0] + re[1], im[0] + im[1]
 
@@ -604,10 +610,10 @@ def _convolve5(x, plan: "DfFFTConvPlan5", interpret: bool,
         grid=(n_cells,),
         in_specs=[
             pl.BlockSpec(blk, lambda c: (c, 0, 0)),
-            pl.BlockSpec((S, 4, LANES, LANES), lambda c: (0, 0, 0, 0)),
+            pl.BlockSpec((S, 8, LANES, LANES), lambda c: (0, 0, 0, 0)),
             pl.BlockSpec((S, LANES, LANES), lambda c: (0, 0, 0)),
-            pl.BlockSpec((4, LANES, LANES), lambda c: (0, 0, 0)),
-            pl.BlockSpec((4, LANES, LANES), lambda c: (0, 0, 0)),
+            pl.BlockSpec((8, LANES, LANES), lambda c: (0, 0, 0)),
+            pl.BlockSpec((8, LANES, LANES), lambda c: (0, 0, 0)),
         ],
         out_specs=pl.BlockSpec(blk, lambda c: (c, 0, 0)),
         interpret=interpret,
@@ -673,10 +679,10 @@ def _convolve5_framed(u_p, plan: "DfFFTConvPlan5", n_frames: int,
             pl.BlockSpec((1, sr, LANES), lambda c, t: (c, t, 0)),
             pl.BlockSpec((1, pr, LANES),
                          lambda c, t: (c, (t + 1) * ratio, 0)),
-            pl.BlockSpec((S, 4, LANES, LANES), lambda c, t: (0, 0, 0, 0)),
+            pl.BlockSpec((S, 8, LANES, LANES), lambda c, t: (0, 0, 0, 0)),
             pl.BlockSpec((S, LANES, LANES), lambda c, t: (0, 0, 0)),
-            pl.BlockSpec((4, LANES, LANES), lambda c, t: (0, 0, 0)),
-            pl.BlockSpec((4, LANES, LANES), lambda c, t: (0, 0, 0)),
+            pl.BlockSpec((8, LANES, LANES), lambda c, t: (0, 0, 0)),
+            pl.BlockSpec((8, LANES, LANES), lambda c, t: (0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, sr, LANES), lambda c, t: (c, t, 0)),
         interpret=interpret,
@@ -741,11 +747,11 @@ def _convolve5_framed_poly(x_p, plan: "DfFFTConvPlan5", n_frames: int,
             pl.BlockSpec((1, sr, LANES), lambda c, t: (c, t, 0)),
             pl.BlockSpec((1, pr, LANES),
                          lambda c, t: (c, (t + 1) * ratio, 0)),
-            pl.BlockSpec((S, 4, LANES, LANES), lambda c, t: (0, 0, 0, 0)),
+            pl.BlockSpec((S, 8, LANES, LANES), lambda c, t: (0, 0, 0, 0)),
             pl.BlockSpec((S, LANES, LANES), lambda c, t: (0, 0, 0)),
-            pl.BlockSpec((4, LANES, LANES), lambda c, t: (0, 0, 0)),
-            pl.BlockSpec((4, LANES, LANES), lambda c, t: (0, 0, 0)),
-            pl.BlockSpec((4, LANES, LANES), lambda c, t: (0, 0, 0)),
+            pl.BlockSpec((8, LANES, LANES), lambda c, t: (0, 0, 0)),
+            pl.BlockSpec((8, LANES, LANES), lambda c, t: (0, 0, 0)),
+            pl.BlockSpec((8, LANES, LANES), lambda c, t: (0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 2, sr, LANES),
                                lambda c, t: (c, 0, t, 0)),

@@ -64,7 +64,7 @@ def _host_convolve5(x, plan, interpret, transpose_mode):
     fA = _recover_freq_map(plan.planA, A)
     fB = _recover_freq_map(plan.planB, LANES)
     a_of_row = _np.arange(LANES) % A
-    H = (plan.h_tw[0] + plan.h_tw[1]) + 1j * (plan.h_tw[2] + plan.h_tw[3])
+    H = (plan.h_tw[0] + plan.h_tw[3]) + 1j * (plan.h_tw[4] + plan.h_tw[7])
     x = _np.asarray(x, _np.float64).reshape(-1, n)
     out = _np.empty_like(x)
     for c0 in range(0, x.shape[0], 2 * T2):
@@ -128,8 +128,8 @@ def _host_convolve5_framed(u_p, plan, n_frames, interpret, transpose_mode):
     fB = _recover_freq_map(plan.planB, LANES)
     a_of_row = _np.arange(LANES) % A
     k_idx = (fA[a_of_row][None, :] + A * fB[:, None]) % n
-    Hs = ((plan.h_tw[0] + plan.h_tw[1])
-          + 1j * (plan.h_tw[2] + plan.h_tw[3]))
+    Hs = ((plan.h_tw[0] + plan.h_tw[3])
+          + 1j * (plan.h_tw[4] + plan.h_tw[7]))
     H_nat = _np.zeros(n, complex)
     H_nat[k_idx.ravel()] = Hs.ravel()
     out = _np.zeros((u.shape[0], n_cells * G * hop), _np.float32)
@@ -186,7 +186,7 @@ def _host_convolve5_framed_poly(x_p, plan, n_frames, interpret,
     k_idx = (fA[a_of_row][None, :] + A * fB[:, None]) % n
     out = _np.zeros((u.shape[0], 2, n_cells * G * hop), _np.float32)
     for p, planes in enumerate((plan.h_tw, plan.h_tw2)):
-        Hs = (planes[0] + planes[1]) + 1j * (planes[2] + planes[3])
+        Hs = (planes[0] + planes[3]) + 1j * (planes[4] + planes[7])
         H_nat = _np.zeros(n, complex)
         H_nat[k_idx.ravel()] = Hs.ravel()
         for f in range(n_cells * G):
