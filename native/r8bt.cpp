@@ -376,6 +376,9 @@ class ConvStage : public Stage {
         bool headDirect = false;
         if (wcEnd <= t_hi) {
             long headCnt = (t_hi - wcEnd) / down + 1;
+            /* breakeven measured on the 24-bit chain (A/B at
+             * nfft*{10,25,100}): the direct dot is cache/latency-bound,
+             * so the FFT block wins above ~45 head outputs */
             headDirect = headCnt * Kx < (long)nfft * 10;
             if (!headDirect) {
                 headB = wcEnd / (hop * up);

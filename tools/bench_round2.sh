@@ -1,11 +1,11 @@
 #!/bin/bash
-# Round-2 chip benchmark sweep (serialized; run AFTER the headline A/B).
-# Covers: BASELINE config matrix (VERDICT item 4), pallas fused A/B
-# (item 5), 10k-channel scale (item 6), poly-mode throughput (item 9),
-# and the on-chip accuracy audit backing the -141 dB claims.
+# Chip benchmark sweep (serialized — concurrent chip jobs corrupt timing).
+# Covers: BASELINE config matrix, guarantee engines, 10k-channel scale,
+# both DSD directions, and the on-chip accuracy audit backing the
+# -141 dB claims.  Results land in the README/BASELINE.md tables.
 set -u
 cd "$(dirname "$0")/.."
-LOG=${1:-/tmp/bench_round2.log}
+LOG=${1:-/tmp/bench_sweep.log}
 : > "$LOG"
 
 run() {
@@ -14,27 +14,30 @@ run() {
 }
 
 # --- BASELINE matrix (fast + high on each config) -----------------------
+run timeout 1800 python bench.py
+run env R8B_BENCH_PRECISION=high timeout 1800 python bench.py
 run env R8B_BENCH_SRC=96000 R8B_BENCH_DST=44100 timeout 1800 python bench.py
 run env R8B_BENCH_SRC=96000 R8B_BENCH_DST=44100 R8B_BENCH_PRECISION=high timeout 1800 python bench.py
 run env R8B_BENCH_SRC=44100 R8B_BENCH_DST=48000 timeout 1800 python bench.py
 run env R8B_BENCH_SRC=44100 R8B_BENCH_DST=48000 R8B_BENCH_PRECISION=high timeout 1800 python bench.py
-run env R8B_BENCH_SRC=2822400 R8B_BENCH_DST=96000 R8B_BENCH_ATTEN=150 R8B_BENCH_CHANNELS=64 R8B_BENCH_SECONDS=0.25 timeout 2400 python bench.py
 run env R8B_BENCH_SRC=44100 R8B_BENCH_DST=96001 timeout 1800 python bench.py
 run env R8B_BENCH_SRC=44100 R8B_BENCH_DST=96001 R8B_BENCH_PRECISION=high timeout 1800 python bench.py
 
-# --- pallas fused A/B (item 5) ------------------------------------------
-run env R8B_BENCH_FUSED=1 R8B_BENCH_ENGINE=pallas R8B_BENCH_METRIC=fast_pallas_fused timeout 2400 python bench.py
-run env R8B_BENCH_PRECISION=high R8B_BENCH_FUSED=1 R8B_BENCH_ENGINE=pallas R8B_BENCH_METRIC=high_pallas_fused timeout 2400 python bench.py
+# --- DSD, both directions (Mrops counts INPUT samples: the 64x up
+# direction reads low even when output throughput is ~13 G samples/s) ---
+run env R8B_BENCH_SRC=2822400 R8B_BENCH_DST=96000 R8B_BENCH_ATTEN=150 R8B_BENCH_CHANNELS=64 R8B_BENCH_SECONDS=0.25 timeout 2400 python bench.py
+run env R8B_BENCH_SRC=44100 R8B_BENCH_DST=2822400 R8B_BENCH_ATTEN=150 R8B_BENCH_CHANNELS=64 R8B_BENCH_SECONDS=0.25 R8B_BENCH_METRIC=pcm_to_dsd64_throughput timeout 2400 python bench.py
 
-# --- 10k-channel scale (item 6) -----------------------------------------
+# --- guarantee engines (backend-independent -141 dB class) --------------
+run env R8B_BENCH_PRECISION=high R8B_BENCH_FUSED=0 R8B_BENCH_ENGINE=pallas_fft5 R8B_BENCH_METRIC=hp_dfft5_guarantee timeout 2400 python bench.py
+run env R8B_BENCH_PRECISION=high R8B_BENCH_FUSED=0 R8B_BENCH_ENGINE=pallas_fft4 R8B_BENCH_METRIC=hp_dfft4_guarantee timeout 2400 python bench.py
+
+# --- 10k-channel scale ---------------------------------------------------
 run env R8B_BENCH_CHANNELS=10240 R8B_BENCH_ITERS=4 R8B_BENCH_METRIC=fast_10k_channels timeout 2400 python bench.py
 
-# --- on-chip accuracy audit ---------------------------------------------
-run timeout 3600 python tools/chip_accuracy.py --configs fast,high,high_toeplitz,hp_dfft_pallas,hp_dfft_pallas4,fast_pallas_fused,high_pallas_fused
+# --- on-chip accuracy audit ----------------------------------------------
+run timeout 3600 python tools/chip_accuracy.py --configs fast,high,high_toeplitz,hp_dfft_pallas5,hp_dfft_pallas4
 run timeout 1800 python tools/chip_accuracy.py --src 44100 --dst 96001 --configs fast,high
+run timeout 2400 python tools/chip_accuracy.py --src 2822400 --dst 96000 --atten 150 --seconds 0.25 --channels 2 --configs fast
 
 echo "ALL DONE" | tee -a "$LOG"
-
-# --- df-FFT kernel T2 sweep ---------------------------------------------
-run env R8B_BENCH_PRECISION=high R8B_BENCH_FUSED=0 R8B_BENCH_ENGINE=pallas_fft4 R8B_DFFT_T2=2 R8B_BENCH_METRIC=hp_dfft4_T2_2 timeout 2400 python bench.py
-run env R8B_BENCH_PRECISION=high R8B_BENCH_FUSED=0 R8B_BENCH_ENGINE=pallas_fft4 R8B_DFFT_T2=8 R8B_BENCH_METRIC=hp_dfft4_T2_8 timeout 2400 python bench.py
