@@ -102,7 +102,8 @@ def fuse_stage_list(plan: Plan, dtype, precision, build_exec,
 
 class FusedUpExec:
     def __init__(self, plan: Plan, dtype=jnp.float32,
-                 precision: str = "fast", engine: str = "auto"):
+                 precision: str = "fast", engine: str = "auto",
+                 kx: int = None):
         assert can_fuse(plan)
         # "auto"/"matmul": segmented-view framed matmul (XLA);  "pallas":
         # VMEM-resident kernel via the adaptive-Q tiling (any stride)
@@ -158,12 +159,14 @@ class FusedUpExec:
                     C[j, d] = np.dot(B[i0:i1], k[v + i0 : v + i1])
         # extend the supercycle by the smallest k that makes the matmul
         # column count k*p_out a lane multiple (free output reshape on TPU;
-        # costs (k-1)*p_in extra rows = a few % flops)
-        kx = 1
-        for cand in range(1, 5):
-            if (cand * p_out) % 128 == 0:
-                kx = cand
-                break
+        # costs (k-1)*p_in extra rows = a few % flops).  kx can be forced
+        # for layout experiments (e.g. kx=8 makes p_in sublane-aligned).
+        if kx is None:
+            kx = 1
+            for cand in range(1, 5):
+                if (cand * p_out) % 128 == 0:
+                    kx = cand
+                    break
         self.kx = kx
         a_min = int(a.min())
         D = int((a.max() - a_min)) + width + (kx - 1) * p_in
