@@ -63,41 +63,59 @@ class Hist {
     void clear() {
         buf.clear();
         start = 0;
+        off = 0;
     }
     void push(const double *x, long n) { buf.insert(buf.end(), x, x + n); }
     /* sample at absolute index i (zero before stream start) */
     double at(long i) const {
         long j = i - start;
-        if (j < 0 || (size_t)j >= buf.size()) return 0.0;
-        return buf[(size_t)j];
+        if (j < 0 || (size_t)j >= buf.size() - (size_t)off) return 0.0;
+        return buf[(size_t)(off + j)];
     }
     void trimTo(long keep) {
-        long drop = (long)buf.size() - keep;
+        /* logical trim only; the front erase (a memmove of the whole
+         * kept window on EVERY process call) is deferred until the dead
+         * prefix dominates the buffer */
+        long drop = (long)buf.size() - off - keep;
         if (drop > 0) {
-            buf.erase(buf.begin(), buf.begin() + drop);
+            off += drop;
             start += drop;
+            if (off > (long)buf.size() / 2 && off > 8192) {
+                buf.erase(buf.begin(), buf.begin() + off);
+                off = 0;
+            }
         }
     }
     /* copy [i0, i0+n) into dst, zero-filling outside the kept range */
     void copyRange(long i0, long n, double *dst) const {
-        for (long i = 0; i < n; ++i) {
-            long j = i0 + i - start;
-            dst[i] = (j < 0 || (size_t)j >= buf.size()) ? 0.0
-                                                        : buf[(size_t)j];
-        }
+        const long sz = (long)buf.size() - off;
+        long j0 = i0 - start;                     /* first source index */
+        long lead = j0 < 0 ? (-j0 < n ? -j0 : n) : 0;
+        long mid0 = j0 + lead;
+        long mid = sz - mid0;
+        if (mid > n - lead) mid = n - lead;
+        if (mid < 0) mid = 0;
+        std::memset(dst, 0, (size_t)lead * sizeof(double));
+        if (mid > 0)
+            std::memcpy(dst + lead, buf.data() + off + mid0,
+                        (size_t)mid * sizeof(double));
+        std::memset(dst + lead + mid, 0,
+                    (size_t)(n - lead - mid) * sizeof(double));
     }
     /* raw pointer to absolute index i0 when [i0, i0+n) is fully kept;
      * nullptr near the stream-start/trim boundaries (callers fall back
      * to the zero-filling at()) */
     const double *raw(long i0, long n) const {
         long j = i0 - start;
-        if (j < 0 || (size_t)(j + n) > buf.size()) return nullptr;
-        return buf.data() + j;
+        if (j < 0 || (size_t)(j + n) > buf.size() - (size_t)off)
+            return nullptr;
+        return buf.data() + off + j;
     }
 
   private:
     std::vector<double> buf;
     long start = 0;
+    long off = 0;  /* dead prefix length inside buf */
 };
 
 /* Iterative radix-2 complex FFT (split re/im, precomputed bit-reversal and
@@ -488,10 +506,9 @@ class ConvStage : public Stage {
         xim[0] = 0.0;
         xre[(size_t)h] = zre[0] - zim[0];  /* Nyquist */
         xim[(size_t)h] = 0.0;
-        for (int k = 1; k < h; ++k) {  /* conjugate upper half */
-            xre[(size_t)(nfft - k)] = xre[(size_t)k];
-            xim[(size_t)(nfft - k)] = -xim[(size_t)k];
-        }
+        /* upper half is implied by conjugate symmetry; the spectrum
+         * multiply reads it via X[nf-k] = conj(X[k]) (second loop in
+         * computeBlock) instead of materializing the mirror */
     }
 
     /* fill blk[] with w[t] for t in [b*hop*up, (b*hop+hop)*up) */
@@ -507,16 +524,29 @@ class ConvStage : public Stage {
                                      : nullptr;
             const double *k1i = pair ? spIm[(size_t)(ph + 1)].data()
                                      : nullptr;
-            for (int i = 0; i < nf; ++i) {
-                double ar = xre[(size_t)i] * k0r[i]
-                            - xim[(size_t)i] * k0i[i];
-                double ai = xre[(size_t)i] * k0i[i]
-                            + xim[(size_t)i] * k0r[i];
+            const int hf = nf / 2;
+            for (int i = 0; i <= hf; ++i) {
+                double xr = xre[(size_t)i], xi = xim[(size_t)i];
+                double ar = xr * k0r[i] - xi * k0i[i];
+                double ai = xr * k0i[i] + xi * k0r[i];
                 if (pair) {  /* Z = A + i*B: Re->w_ph, Im->w_ph1 */
-                    double br = xre[(size_t)i] * k1r[i]
-                                - xim[(size_t)i] * k1i[i];
-                    double bi = xre[(size_t)i] * k1i[i]
-                                + xim[(size_t)i] * k1r[i];
+                    double br = xr * k1r[i] - xi * k1i[i];
+                    double bi = xr * k1i[i] + xi * k1r[i];
+                    yre[(size_t)i] = ar - bi;
+                    yim[(size_t)i] = ai + br;
+                } else {
+                    yre[(size_t)i] = ar;
+                    yim[(size_t)i] = ai;
+                }
+            }
+            for (int i = hf + 1; i < nf; ++i) {  /* X[i] = conj(X[nf-i]) */
+                double xr = xre[(size_t)(nf - i)];
+                double xi = -xim[(size_t)(nf - i)];
+                double ar = xr * k0r[i] - xi * k0i[i];
+                double ai = xr * k0i[i] + xi * k0r[i];
+                if (pair) {
+                    double br = xr * k1r[i] - xi * k1i[i];
+                    double bi = xr * k1i[i] + xi * k1r[i];
                     yre[(size_t)i] = ar - bi;
                     yim[(size_t)i] = ai + br;
                 } else {
