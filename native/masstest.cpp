@@ -3,12 +3,16 @@
  * workloads under Dr.Memory; here the binary is built with
  * -fsanitize=address,undefined and exercised by tests/test_native.py).
  *
- * Usage: masstest <plan.blob> <n_samples> [seed]
+ * Usage: masstest <plan.blob> <n_samples> [seed] [threads]
  * Streams n_samples of noise in random-sized chunks, clears and repeats
  * once (state-reset coverage), prints a checksum — then streams one
  * steady-state timed pass in 8192-sample chunks and prints Mrops
  * (1e-6 * input-samples / second, the bench/r8bfreesrc.cpp:140-141
- * convention; single channel, single core).
+ * convention; single channel, single core).  With [threads] > 1, a
+ * final pass runs one independent engine per thread (the reference's
+ * one-object-per-channel concurrency contract, README.md:52-55) and
+ * prints the aggregate Mrops — the n-core scaling the reference's
+ * 38*n_cores figure assumes.
  */
 
 #include "r8bt.h"
@@ -17,6 +21,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
+#include <thread>
 #include <vector>
 
 static uint64_t lcg(uint64_t &s) {
@@ -46,6 +51,7 @@ int main(int argc, char **argv) {
 
     long n = std::atol(argv[2]);
     uint64_t seed = argc > 3 ? (uint64_t)std::atoll(argv[3]) : 42;
+    int nthreads = argc > 4 ? std::atoi(argv[4]) : 1;
 
     r8bt_handle h = r8bt_create_from_blob(blob.data(), blob.size());
     if (!h) {
@@ -102,5 +108,42 @@ int main(int argc, char **argv) {
     }
     r8bt_delete(h);
     std::printf("checksum %.12g\n", checksum);
+
+    if (nthreads > 1) {  /* one engine per thread, aggregate Mrops */
+        const long chunkLen = 8192;
+        long total = n < 8 * chunkLen ? 8 * chunkLen : n;
+        std::vector<double> sinks((size_t)nthreads, 0.0);
+        std::vector<std::thread> th;
+        auto t0 = std::chrono::steady_clock::now();
+        for (int ti = 0; ti < nthreads; ++ti) {
+            th.emplace_back([&, ti]() {
+                r8bt_handle hh =
+                    r8bt_create_from_blob(blob.data(), blob.size());
+                if (!hh) return;
+                uint64_t s = seed + 1000 + (uint64_t)ti;
+                std::vector<double> chunk((size_t)chunkLen);
+                for (long i = 0; i < chunkLen; ++i)
+                    chunk[(size_t)i] =
+                        (double)(lcg(s) >> 11) / 4503599627370496.0 - 1.0;
+                double sink = 0.0;
+                for (long fed = 0; fed < total; fed += chunkLen) {
+                    double *out = nullptr;
+                    long m = r8bt_process(hh, chunk.data(), chunkLen, &out);
+                    if (m > 0) sink += out[0] + out[m - 1];
+                }
+                sinks[(size_t)ti] = sink;
+                r8bt_delete(hh);
+            });
+        }
+        for (auto &t : th) t.join();
+        auto t1 = std::chrono::steady_clock::now();
+        double dt = std::chrono::duration<double>(t1 - t0).count();
+        double sink = 0.0;
+        for (double v : sinks) sink += v;
+        std::printf("mrops_mt %.2f (threads %d; %ld samples each in "
+                    "%.3fs; sink %.3g)\n",
+                    1e-6 * (double)total * nthreads / dt, nthreads,
+                    total, dt, sink);
+    }
     return 0;
 }

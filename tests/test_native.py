@@ -99,10 +99,15 @@ def test_native_masstest_asan(native, tmp_path):
         blob = build_plan_blob(make_plan(src, dst, 2.0, 140.0, 0))
         p = tmp_path / f"{label}.blob"
         p.write_bytes(blob)
-        r = subprocess.run([str(nat / "masstest_asan"), str(p), "20000"],
+        # threads=2: one engine per thread — the reference's
+        # one-object-per-channel concurrency contract (README.md:52-55)
+        # under the sanitizers
+        r = subprocess.run([str(nat / "masstest_asan"), str(p), "20000",
+                            "42", "2"],
                            capture_output=True, text=True)
         assert r.returncode == 0, (label, r.stdout, r.stderr[-2000:])
         assert "checksum" in r.stdout
+        assert "mrops_mt" in r.stdout
 
 
 def test_native_hbdown_chunk_boundary(native):

@@ -40,6 +40,8 @@ def main(argv=None):
     ap.add_argument("--src", type=float, default=44100)
     ap.add_argument("--dst", type=float, default=96000)
     ap.add_argument("--atten", type=float, default=180.15)
+    ap.add_argument("--phase", type=int, default=0,
+                    help="0=linear, 1=minimum phase")
     ap.add_argument("--configs", default="fast,high,hp_dfft_pallas")
     args = ap.parse_args(argv)
 
@@ -57,7 +59,8 @@ def main(argv=None):
     n = int(args.src * args.seconds)
     rng = np.random.default_rng(7)
     x = rng.standard_normal((args.channels, n)) * 0.5
-    orc = OracleResampler(args.src, args.dst, 4096, 2.0, args.atten, 0)
+    orc = OracleResampler(args.src, args.dst, 4096, 2.0, args.atten,
+                          args.phase)
     out_len = int(np.floor(n * args.dst / args.src))
     ref = np.stack([orc.oneshot(c, out_len) for c in x])
 
@@ -66,7 +69,8 @@ def main(argv=None):
         precision, fused, conv_engine, frac_engine = CONFIGS[label]
         t0 = time.time()
         try:
-            rs = Resampler(args.src, args.dst, 2.0, args.atten, 0,
+            rs = Resampler(args.src, args.dst, 2.0, args.atten,
+                           args.phase,
                            dtype=jnp.float32, precision=precision,
                            fused=fused, conv_engine=conv_engine,
                            frac_engine=frac_engine, plan=orc.plan)
@@ -85,7 +89,7 @@ def main(argv=None):
         results[label] = round(rms, 1)
         print(f"{label:20s} {rms:8.1f} dB vs f64 oracle "
               f"({time.time()-t0:.0f}s)", file=sys.stderr)
-    print(json.dumps({"metric": "chip_accuracy_db",
+    print(json.dumps({"metric": "chip_accuracy_db", "phase": args.phase,
                       "src": args.src, "dst": args.dst,
                       "results": results}))
     return 0
