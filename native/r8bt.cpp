@@ -16,6 +16,20 @@
 #include <string>
 #include <vector>
 
+/* Explicit SIMD kernels (gcc refuses to auto-vectorize the split re/im
+ * butterfly loops: "no vectype" on the twiddle loads).  The scalar code
+ * below every #if block is the reference semantics; the intrinsic paths
+ * compute the same expressions 8 (AVX-512) or 4 (AVX2) lanes at a time.
+ * This is the role the reference's hand-SIMD fft4g/pffft backends and
+ * R8B_SSE2/R8B_NEON interpolator bodies play (r8bbase.h:107-134). */
+#if defined(__AVX512F__)
+#include <immintrin.h>
+#define R8BT_AVX512 1
+#elif defined(__AVX2__) && defined(__FMA__)
+#include <immintrin.h>
+#define R8BT_AVX2 1
+#endif
+
 namespace {
 
 struct Reader {
@@ -159,36 +173,73 @@ class CFFT {
                 std::swap(im[i], im[j]);
             }
         }
-        /* len == 2: w = 1 — pure add/sub over adjacent pairs */
-        if (n >= 2) {
-            for (int i = 0; i < n; i += 2) {
-                double ur = re[i], ui = im[i];
-                double vr = re[i + 1], vi = im[i + 1];
-                re[i] = ur + vr;
-                im[i] = ui + vi;
-                re[i + 1] = ur - vr;
-                im[i + 1] = ui - vi;
+        /* len == 2 (w = 1: add/sub over adjacent pairs) and len == 4
+         * (w = {1, -i} forward / {1, +i} inverse) — fused into ONE sweep
+         * when SIMD is available (both stages are memory-bound). */
+#if R8BT_AVX512
+        if (n >= 8) {
+            const __m512d sg = _mm512_set1_pd(inv ? -1.0 : 1.0);
+            const __m512d nsg = _mm512_set1_pd(inv ? 1.0 : -1.0);
+            for (int i = 0; i < n; i += 8) {
+                __m512d ar = _mm512_loadu_pd(re + i);
+                __m512d ai = _mm512_loadu_pd(im + i);
+                /* len-2: even lanes u+v, odd lanes u-v (u even, v odd) */
+                __m512d br = _mm512_permute_pd(ar, 0x55);
+                __m512d bi = _mm512_permute_pd(ai, 0x55);
+                __m512d sr = _mm512_add_pd(ar, br);
+                __m512d si = _mm512_add_pd(ai, bi);
+                sr = _mm512_mask_sub_pd(sr, 0xAA, br, ar);
+                si = _mm512_mask_sub_pd(si, 0xAA, bi, ai);
+                /* len-4 within each 4-group of (sr, si):
+                 *   re' = [r0+r2, r1+sgn*i3, r0-r2, r1-sgn*i3]
+                 *   im' = [i0+i2, i1-sgn*r3, i0-i2, i1+sgn*r3] */
+                __m512d ur = _mm512_permutex_pd(sr, 0x44);
+                __m512d ui = _mm512_permutex_pd(si, 0x44);
+                __m512d vr = _mm512_mask_mul_pd(
+                    _mm512_permutex_pd(sr, 0xEE), 0xAA,
+                    _mm512_permutex_pd(si, 0xFF), sg);
+                __m512d vi = _mm512_mask_mul_pd(
+                    _mm512_permutex_pd(si, 0xEE), 0xAA,
+                    _mm512_permutex_pd(sr, 0xFF), nsg);
+                __m512d adr = _mm512_add_pd(ur, vr);
+                __m512d adi = _mm512_add_pd(ui, vi);
+                __m512d sbr = _mm512_sub_pd(ur, vr);
+                __m512d sbi = _mm512_sub_pd(ui, vi);
+                _mm512_storeu_pd(re + i, _mm512_mask_blend_pd(0xCC, adr, sbr));
+                _mm512_storeu_pd(im + i, _mm512_mask_blend_pd(0xCC, adi, sbi));
             }
-        }
-        /* len == 4: w = {1, -i} (forward) / {1, +i} (inverse) */
-        if (n >= 4) {
-            const double sgn = inv ? -1.0 : 1.0;
-            for (int i = 0; i < n; i += 4) {
-                double ur = re[i], ui = im[i];
-                double vr = re[i + 2], vi = im[i + 2];
-                re[i] = ur + vr;
-                im[i] = ui + vi;
-                re[i + 2] = ur - vr;
-                im[i + 2] = ui - vi;
-                ur = re[i + 1];
-                ui = im[i + 1];
-                /* x = v * (-+i): forward (vi, -vr), inverse (-vi, vr) */
-                double xr = sgn * im[i + 3];
-                double xi = -sgn * re[i + 3];
-                re[i + 1] = ur + xr;
-                im[i + 1] = ui + xi;
-                re[i + 3] = ur - xr;
-                im[i + 3] = ui - xi;
+        } else
+#endif
+        {
+            if (n >= 2) {
+                for (int i = 0; i < n; i += 2) {
+                    double ur = re[i], ui = im[i];
+                    double vr = re[i + 1], vi = im[i + 1];
+                    re[i] = ur + vr;
+                    im[i] = ui + vi;
+                    re[i + 1] = ur - vr;
+                    im[i + 1] = ui - vi;
+                }
+            }
+            if (n >= 4) {
+                const double sgn = inv ? -1.0 : 1.0;
+                for (int i = 0; i < n; i += 4) {
+                    double ur = re[i], ui = im[i];
+                    double vr = re[i + 2], vi = im[i + 2];
+                    re[i] = ur + vr;
+                    im[i] = ui + vi;
+                    re[i + 2] = ur - vr;
+                    im[i + 2] = ui - vi;
+                    ur = re[i + 1];
+                    ui = im[i + 1];
+                    /* x = v * (-+i): forward (vi, -vr), inverse (-vi, vr) */
+                    double xr = sgn * im[i + 3];
+                    double xi = -sgn * re[i + 3];
+                    re[i + 1] = ur + xr;
+                    im[i + 1] = ui + xi;
+                    re[i + 3] = ur - xr;
+                    im[i + 3] = ui - xi;
+                }
             }
         }
         /* remaining stages in radix-2^2 pairs (L, 2L): identical math to
@@ -209,7 +260,116 @@ class CFFT {
                 double *rb = ra + h, *ib = ia + h;
                 double *rc = ra + L, *ic = ia + L;
                 double *rd = rc + h, *id_ = ic + h;
-                for (int j = 0; j < h; ++j) {
+                int j = 0;
+#if R8BT_AVX512
+                if (h >= 8) {
+                    const __m512d sg = _mm512_set1_pd(s2);
+                    const __m512d ng = _mm512_set1_pd(-s2);
+                    for (; j + 8 <= h; j += 8) {
+                        __m512d wr = _mm512_loadu_pd(tLr + j);
+                        __m512d wi =
+                            _mm512_mul_pd(sg, _mm512_loadu_pd(tLi + j));
+                        __m512d w1r = _mm512_loadu_pd(tHr + j);
+                        __m512d w1i =
+                            _mm512_mul_pd(sg, _mm512_loadu_pd(tHi + j));
+                        /* w2 = w1 * (-+i): (s2*tHi, -s2*tHr) */
+                        __m512d w2r = _mm512_loadu_pd(tHi + j);
+                        __m512d w2i =
+                            _mm512_mul_pd(ng, _mm512_loadu_pd(tHr + j));
+                        __m512d ar = _mm512_loadu_pd(ra + j);
+                        __m512d ai = _mm512_loadu_pd(ia + j);
+                        __m512d br = _mm512_loadu_pd(rb + j);
+                        __m512d bi = _mm512_loadu_pd(ib + j);
+                        __m512d cr = _mm512_loadu_pd(rc + j);
+                        __m512d ci = _mm512_loadu_pd(ic + j);
+                        __m512d dr = _mm512_loadu_pd(rd + j);
+                        __m512d di = _mm512_loadu_pd(id_ + j);
+                        __m512d tbr =
+                            _mm512_fmsub_pd(br, wr, _mm512_mul_pd(bi, wi));
+                        __m512d tbi =
+                            _mm512_fmadd_pd(br, wi, _mm512_mul_pd(bi, wr));
+                        __m512d tdr =
+                            _mm512_fmsub_pd(dr, wr, _mm512_mul_pd(di, wi));
+                        __m512d tdi =
+                            _mm512_fmadd_pd(dr, wi, _mm512_mul_pd(di, wr));
+                        __m512d a1r = _mm512_add_pd(ar, tbr);
+                        __m512d a1i = _mm512_add_pd(ai, tbi);
+                        __m512d b1r = _mm512_sub_pd(ar, tbr);
+                        __m512d b1i = _mm512_sub_pd(ai, tbi);
+                        __m512d c1r = _mm512_add_pd(cr, tdr);
+                        __m512d c1i = _mm512_add_pd(ci, tdi);
+                        __m512d d1r = _mm512_sub_pd(cr, tdr);
+                        __m512d d1i = _mm512_sub_pd(ci, tdi);
+                        __m512d pcr =
+                            _mm512_fmsub_pd(c1r, w1r, _mm512_mul_pd(c1i, w1i));
+                        __m512d pci =
+                            _mm512_fmadd_pd(c1r, w1i, _mm512_mul_pd(c1i, w1r));
+                        _mm512_storeu_pd(ra + j, _mm512_add_pd(a1r, pcr));
+                        _mm512_storeu_pd(ia + j, _mm512_add_pd(a1i, pci));
+                        _mm512_storeu_pd(rc + j, _mm512_sub_pd(a1r, pcr));
+                        _mm512_storeu_pd(ic + j, _mm512_sub_pd(a1i, pci));
+                        __m512d pdr =
+                            _mm512_fmsub_pd(d1r, w2r, _mm512_mul_pd(d1i, w2i));
+                        __m512d pdi =
+                            _mm512_fmadd_pd(d1r, w2i, _mm512_mul_pd(d1i, w2r));
+                        _mm512_storeu_pd(rb + j, _mm512_add_pd(b1r, pdr));
+                        _mm512_storeu_pd(ib + j, _mm512_add_pd(b1i, pdi));
+                        _mm512_storeu_pd(rd + j, _mm512_sub_pd(b1r, pdr));
+                        _mm512_storeu_pd(id_ + j, _mm512_sub_pd(b1i, pdi));
+                    }
+                } else { /* h == 4: one 256-bit iteration */
+                    const __m256d sg = _mm256_set1_pd(s2);
+                    const __m256d ng = _mm256_set1_pd(-s2);
+                    __m256d wr = _mm256_loadu_pd(tLr);
+                    __m256d wi = _mm256_mul_pd(sg, _mm256_loadu_pd(tLi));
+                    __m256d w1r = _mm256_loadu_pd(tHr);
+                    __m256d w1i = _mm256_mul_pd(sg, _mm256_loadu_pd(tHi));
+                    __m256d w2r = _mm256_loadu_pd(tHi);
+                    __m256d w2i = _mm256_mul_pd(ng, _mm256_loadu_pd(tHr));
+                    __m256d ar = _mm256_loadu_pd(ra);
+                    __m256d ai = _mm256_loadu_pd(ia);
+                    __m256d br = _mm256_loadu_pd(rb);
+                    __m256d bi = _mm256_loadu_pd(ib);
+                    __m256d cr = _mm256_loadu_pd(rc);
+                    __m256d ci = _mm256_loadu_pd(ic);
+                    __m256d dr = _mm256_loadu_pd(rd);
+                    __m256d di = _mm256_loadu_pd(id_);
+                    __m256d tbr =
+                        _mm256_fmsub_pd(br, wr, _mm256_mul_pd(bi, wi));
+                    __m256d tbi =
+                        _mm256_fmadd_pd(br, wi, _mm256_mul_pd(bi, wr));
+                    __m256d tdr =
+                        _mm256_fmsub_pd(dr, wr, _mm256_mul_pd(di, wi));
+                    __m256d tdi =
+                        _mm256_fmadd_pd(dr, wi, _mm256_mul_pd(di, wr));
+                    __m256d a1r = _mm256_add_pd(ar, tbr);
+                    __m256d a1i = _mm256_add_pd(ai, tbi);
+                    __m256d b1r = _mm256_sub_pd(ar, tbr);
+                    __m256d b1i = _mm256_sub_pd(ai, tbi);
+                    __m256d c1r = _mm256_add_pd(cr, tdr);
+                    __m256d c1i = _mm256_add_pd(ci, tdi);
+                    __m256d d1r = _mm256_sub_pd(cr, tdr);
+                    __m256d d1i = _mm256_sub_pd(ci, tdi);
+                    __m256d pcr =
+                        _mm256_fmsub_pd(c1r, w1r, _mm256_mul_pd(c1i, w1i));
+                    __m256d pci =
+                        _mm256_fmadd_pd(c1r, w1i, _mm256_mul_pd(c1i, w1r));
+                    _mm256_storeu_pd(ra, _mm256_add_pd(a1r, pcr));
+                    _mm256_storeu_pd(ia, _mm256_add_pd(a1i, pci));
+                    _mm256_storeu_pd(rc, _mm256_sub_pd(a1r, pcr));
+                    _mm256_storeu_pd(ic, _mm256_sub_pd(a1i, pci));
+                    __m256d pdr =
+                        _mm256_fmsub_pd(d1r, w2r, _mm256_mul_pd(d1i, w2i));
+                    __m256d pdi =
+                        _mm256_fmadd_pd(d1r, w2i, _mm256_mul_pd(d1i, w2r));
+                    _mm256_storeu_pd(rb, _mm256_add_pd(b1r, pdr));
+                    _mm256_storeu_pd(ib, _mm256_add_pd(b1i, pdi));
+                    _mm256_storeu_pd(rd, _mm256_sub_pd(b1r, pdr));
+                    _mm256_storeu_pd(id_, _mm256_sub_pd(b1i, pdi));
+                    j = h;
+                }
+#endif
+                for (; j < h; ++j) {
                     double wr = tLr[j], wi = s2 * tLi[j];
                     double w1r = tHr[j], w1i = s2 * tHi[j];
                     /* w2 = w1 * (-+i) */
@@ -249,7 +409,28 @@ class CFFT {
             for (int i = 0; i < n; i += len) {
                 double *r0 = re + i, *i0 = im + i;
                 double *r1 = re + i + half, *i1 = im + i + half;
-                for (int j = 0; j < half; ++j) {
+                int j = 0;
+#if R8BT_AVX512
+                const __m512d sg = _mm512_set1_pd(s2);
+                for (; j + 8 <= half; j += 8) {
+                    __m512d twr = _mm512_loadu_pd(twr_ + j);
+                    __m512d twi =
+                        _mm512_mul_pd(sg, _mm512_loadu_pd(twi_ + j));
+                    __m512d ur = _mm512_loadu_pd(r0 + j);
+                    __m512d ui = _mm512_loadu_pd(i0 + j);
+                    __m512d vr = _mm512_loadu_pd(r1 + j);
+                    __m512d vi = _mm512_loadu_pd(i1 + j);
+                    __m512d xr =
+                        _mm512_fmsub_pd(vr, twr, _mm512_mul_pd(vi, twi));
+                    __m512d xi =
+                        _mm512_fmadd_pd(vr, twi, _mm512_mul_pd(vi, twr));
+                    _mm512_storeu_pd(r0 + j, _mm512_add_pd(ur, xr));
+                    _mm512_storeu_pd(i0 + j, _mm512_add_pd(ui, xi));
+                    _mm512_storeu_pd(r1 + j, _mm512_sub_pd(ur, xr));
+                    _mm512_storeu_pd(i1 + j, _mm512_sub_pd(ui, xi));
+                }
+#endif
+                for (; j < half; ++j) {
                     double twr = twr_[j], twi = s2 * twi_[j];
                     double ur = r0[j], ui = i0[j];
                     double vr = r1[j], vi = i1[j];
@@ -472,6 +653,26 @@ class ConvStage : public Stage {
             spRe[(size_t)ph] = re;
             spIm[(size_t)ph] = im;
         }
+        /* The pair packing computes Z = X*K_ph + i*(X*K_ph1) =
+         * X * (K_ph + i*K_ph1): fold the two phase spectra into ONE
+         * combined complex spectrum per pair — one complex multiply
+         * per bin instead of two plus a combine, and half the spectrum
+         * bytes streamed from L2 per block. */
+        spCr.assign((size_t)(up / 2), {});
+        spCi.assign((size_t)(up / 2), {});
+        for (long ph = 0; ph + 1 < up; ph += 2) {
+            std::vector<double> cr((size_t)nf), ci((size_t)nf);
+            const double *k0r = spRe[(size_t)ph].data();
+            const double *k0i = spIm[(size_t)ph].data();
+            const double *k1r = spRe[(size_t)(ph + 1)].data();
+            const double *k1i = spIm[(size_t)(ph + 1)].data();
+            for (int i = 0; i < nf; ++i) {
+                cr[(size_t)i] = k0r[i] - k1i[i];
+                ci[(size_t)i] = k0i[i] + k1r[i];
+            }
+            spCr[(size_t)(ph / 2)] = std::move(cr);
+            spCi[(size_t)(ph / 2)] = std::move(ci);
+        }
         xre.assign((size_t)nf, 0.0);
         xim.assign((size_t)nf, 0.0);
         yre.assign((size_t)nf, 0.0);
@@ -492,7 +693,41 @@ class ConvStage : public Stage {
         fftHalf.run(zre.data(), zim.data(), false);
         /* X[k] = E[k] + w^k O[k], E = (Z[k]+conj(Z[h-k]))/2,
          * O = (Z[k]-conj(Z[h-k]))/(2i), w = e^{-2pi i/N} */
-        for (int k = 1; k < h; ++k) {
+        int k = 1;
+#if R8BT_AVX512
+        {
+            const __m512d half_ = _mm512_set1_pd(0.5);
+            const __m512i ridx = _mm512_set_epi64(0, 1, 2, 3, 4, 5, 6, 7);
+            for (; k + 8 <= h; k += 8) {
+                __m512d zr = _mm512_loadu_pd(zre.data() + k);
+                __m512d zi = _mm512_loadu_pd(zim.data() + k);
+                /* conj(Z[h-k .. h-k-7]) via reversed loads */
+                __m512d cr = _mm512_permutexvar_pd(
+                    ridx, _mm512_loadu_pd(zre.data() + (h - k - 7)));
+                __m512d ci = _mm512_sub_pd(
+                    _mm512_setzero_pd(),
+                    _mm512_permutexvar_pd(
+                        ridx, _mm512_loadu_pd(zim.data() + (h - k - 7))));
+                __m512d er = _mm512_mul_pd(half_, _mm512_add_pd(zr, cr));
+                __m512d ei = _mm512_mul_pd(half_, _mm512_add_pd(zi, ci));
+                __m512d orr = _mm512_mul_pd(half_, _mm512_sub_pd(zi, ci));
+                __m512d oi = _mm512_mul_pd(half_, _mm512_sub_pd(cr, zr));
+                __m512d twr = _mm512_loadu_pd(utwRe.data() + k);
+                __m512d twi = _mm512_loadu_pd(utwIm.data() + k);
+                _mm512_storeu_pd(
+                    xre.data() + k,
+                    _mm512_fmadd_pd(
+                        orr, twr,
+                        _mm512_fnmadd_pd(oi, twi, er)));
+                _mm512_storeu_pd(
+                    xim.data() + k,
+                    _mm512_fmadd_pd(
+                        orr, twi,
+                        _mm512_fmadd_pd(oi, twr, ei)));
+            }
+        }
+#endif
+        for (; k < h; ++k) {
             int kc = h - k;
             double zr = zre[(size_t)k], zi = zim[(size_t)k];
             double cr = zre[(size_t)kc], ci = -zim[(size_t)kc];
@@ -517,45 +752,87 @@ class ConvStage : public Stage {
         hist.copyRange(b * hop - (Kx - 1), nf, xre.data());
         realForward();
         for (long ph = 0; ph < up; ph += 2) {
-            const double *k0r = spRe[(size_t)ph].data();
-            const double *k0i = spIm[(size_t)ph].data();
             const bool pair = ph + 1 < up;
-            const double *k1r = pair ? spRe[(size_t)(ph + 1)].data()
-                                     : nullptr;
-            const double *k1i = pair ? spIm[(size_t)(ph + 1)].data()
-                                     : nullptr;
+            /* pair: one combined complex spectrum (see prepare);
+             * unpaired trailing phase (odd up): the single spectrum */
+            const double *kr = pair ? spCr[(size_t)(ph / 2)].data()
+                                    : spRe[(size_t)ph].data();
+            const double *ki = pair ? spCi[(size_t)(ph / 2)].data()
+                                    : spIm[(size_t)ph].data();
             const int hf = nf / 2;
-            for (int i = 0; i <= hf; ++i) {
+            int i = 0;
+#if R8BT_AVX512
+            for (; i + 8 <= hf + 1; i += 8) {
+                __m512d xr = _mm512_loadu_pd(xre.data() + i);
+                __m512d xi = _mm512_loadu_pd(xim.data() + i);
+                __m512d cr = _mm512_loadu_pd(kr + i);
+                __m512d ci = _mm512_loadu_pd(ki + i);
+                _mm512_storeu_pd(
+                    yre.data() + i,
+                    _mm512_fmsub_pd(xr, cr, _mm512_mul_pd(xi, ci)));
+                _mm512_storeu_pd(
+                    yim.data() + i,
+                    _mm512_fmadd_pd(xr, ci, _mm512_mul_pd(xi, cr)));
+            }
+#endif
+            for (; i <= hf; ++i) {
                 double xr = xre[(size_t)i], xi = xim[(size_t)i];
-                double ar = xr * k0r[i] - xi * k0i[i];
-                double ai = xr * k0i[i] + xi * k0r[i];
-                if (pair) {  /* Z = A + i*B: Re->w_ph, Im->w_ph1 */
-                    double br = xr * k1r[i] - xi * k1i[i];
-                    double bi = xr * k1i[i] + xi * k1r[i];
-                    yre[(size_t)i] = ar - bi;
-                    yim[(size_t)i] = ai + br;
-                } else {
-                    yre[(size_t)i] = ar;
-                    yim[(size_t)i] = ai;
+                yre[(size_t)i] = xr * kr[i] - xi * ki[i];
+                yim[(size_t)i] = xr * ki[i] + xi * kr[i];
+            }
+            i = hf + 1;
+#if R8BT_AVX512
+            {
+                const __m512i ridx = _mm512_set_epi64(0, 1, 2, 3, 4, 5, 6, 7);
+                for (; i + 8 <= nf; i += 8) {
+                    /* X[i] = conj(X[nf-i]): reversed loads of the lower
+                     * half */
+                    __m512d xr = _mm512_permutexvar_pd(
+                        ridx, _mm512_loadu_pd(xre.data() + (nf - i - 7)));
+                    __m512d xi = _mm512_sub_pd(
+                        _mm512_setzero_pd(),
+                        _mm512_permutexvar_pd(
+                            ridx,
+                            _mm512_loadu_pd(xim.data() + (nf - i - 7))));
+                    __m512d cr = _mm512_loadu_pd(kr + i);
+                    __m512d ci = _mm512_loadu_pd(ki + i);
+                    _mm512_storeu_pd(
+                        yre.data() + i,
+                        _mm512_fmsub_pd(xr, cr, _mm512_mul_pd(xi, ci)));
+                    _mm512_storeu_pd(
+                        yim.data() + i,
+                        _mm512_fmadd_pd(xr, ci, _mm512_mul_pd(xi, cr)));
                 }
             }
-            for (int i = hf + 1; i < nf; ++i) {  /* X[i] = conj(X[nf-i]) */
+#endif
+            for (; i < nf; ++i) {  /* X[i] = conj(X[nf-i]) */
                 double xr = xre[(size_t)(nf - i)];
                 double xi = -xim[(size_t)(nf - i)];
-                double ar = xr * k0r[i] - xi * k0i[i];
-                double ai = xr * k0i[i] + xi * k0r[i];
-                if (pair) {
-                    double br = xr * k1r[i] - xi * k1i[i];
-                    double bi = xr * k1i[i] + xi * k1r[i];
-                    yre[(size_t)i] = ar - bi;
-                    yim[(size_t)i] = ai + br;
-                } else {
-                    yre[(size_t)i] = ar;
-                    yim[(size_t)i] = ai;
-                }
+                yre[(size_t)i] = xr * kr[i] - xi * ki[i];
+                yim[(size_t)i] = xr * ki[i] + xi * kr[i];
             }
             fft.run(yre.data(), yim.data(), true);
-            for (long m = 0; m < hop; ++m) {
+            long m = 0;
+#if R8BT_AVX512
+            if (up == 2 && pair && ph == 0) {
+                /* full interleave [w0 w1 w0 w1 ...] of the two phase
+                 * streams in one pass (the scalar loop is a stride-2
+                 * scatter gcc leaves scalar) */
+                const __m512i ilo = _mm512_set_epi64(11, 3, 10, 2, 9, 1, 8, 0);
+                const __m512i ihi =
+                    _mm512_set_epi64(15, 7, 14, 6, 13, 5, 12, 4);
+                for (; m + 8 <= hop; m += 8) {
+                    long j = m + Kx - 1;
+                    __m512d a = _mm512_loadu_pd(yre.data() + j);
+                    __m512d b = _mm512_loadu_pd(yim.data() + j);
+                    _mm512_storeu_pd(blk.data() + 2 * m,
+                                     _mm512_permutex2var_pd(a, ilo, b));
+                    _mm512_storeu_pd(blk.data() + 2 * m + 8,
+                                     _mm512_permutex2var_pd(a, ihi, b));
+                }
+            }
+#endif
+            for (; m < hop; ++m) {
                 long j = m + Kx - 1;
                 blk[(size_t)(m * up + ph)] = yre[(size_t)j];
                 if (pair) blk[(size_t)(m * up + ph + 1)] = yim[(size_t)j];
@@ -567,7 +844,7 @@ class ConvStage : public Stage {
     int nfft = 0;
     long hop = 0;
     CFFT fft, fftHalf;
-    std::vector<std::vector<double>> spRe, spIm, krev;
+    std::vector<std::vector<double>> spRe, spIm, spCr, spCi, krev;
     std::vector<double> xre, xim, yre, yim, blk;
     std::vector<double> zre, zim, utwRe, utwIm;
     std::vector<double> wc;  /* cached w stream, absolute t = wcT0.. */
@@ -668,6 +945,92 @@ class FracWholeStage : public Stage {
         long s = g0 / outStep;
         long f = g0 % outStep;
         const long sInc = inStep / outStep, fInc = inStep % outStep;
+#if R8BT_AVX512
+        /* Four outputs in flight: 4 independent FMA accumulator chains
+         * hide the 4-cycle FMA latency the single-output reduction loop
+         * is bound by; the tail vector of non-multiple-of-8 tap counts
+         * is a masked load (fault-suppressed on the masked-out lanes). */
+        const int nv = (int)(fl >> 3);
+        const unsigned rem = (unsigned)(fl & 7);
+        const __mmask8 tmask =
+            rem ? (__mmask8)((1u << rem) - 1) : (__mmask8)0;
+        const double *fp[4], *wp[4];
+        double *op[4];
+        int nb = 0;
+        auto flush = [&]() {
+            if (nb == 4) {
+                __m512d a0 = _mm512_setzero_pd(), a1 = a0, a2 = a0, a3 = a0;
+                for (int v = 0; v < nv; ++v) {
+                    const long o = (long)v * 8;
+                    a0 = _mm512_fmadd_pd(_mm512_loadu_pd(fp[0] + o),
+                                         _mm512_loadu_pd(wp[0] + o), a0);
+                    a1 = _mm512_fmadd_pd(_mm512_loadu_pd(fp[1] + o),
+                                         _mm512_loadu_pd(wp[1] + o), a1);
+                    a2 = _mm512_fmadd_pd(_mm512_loadu_pd(fp[2] + o),
+                                         _mm512_loadu_pd(wp[2] + o), a2);
+                    a3 = _mm512_fmadd_pd(_mm512_loadu_pd(fp[3] + o),
+                                         _mm512_loadu_pd(wp[3] + o), a3);
+                }
+                if (tmask) {
+                    const long o = (long)nv * 8;
+                    a0 = _mm512_fmadd_pd(
+                        _mm512_maskz_loadu_pd(tmask, fp[0] + o),
+                        _mm512_maskz_loadu_pd(tmask, wp[0] + o), a0);
+                    a1 = _mm512_fmadd_pd(
+                        _mm512_maskz_loadu_pd(tmask, fp[1] + o),
+                        _mm512_maskz_loadu_pd(tmask, wp[1] + o), a1);
+                    a2 = _mm512_fmadd_pd(
+                        _mm512_maskz_loadu_pd(tmask, fp[2] + o),
+                        _mm512_maskz_loadu_pd(tmask, wp[2] + o), a2);
+                    a3 = _mm512_fmadd_pd(
+                        _mm512_maskz_loadu_pd(tmask, fp[3] + o),
+                        _mm512_maskz_loadu_pd(tmask, wp[3] + o), a3);
+                }
+                *op[0] = _mm512_reduce_add_pd(a0);
+                *op[1] = _mm512_reduce_add_pd(a1);
+                *op[2] = _mm512_reduce_add_pd(a2);
+                *op[3] = _mm512_reduce_add_pd(a3);
+            } else {
+                for (int q = 0; q < nb; ++q) {
+                    __m512d a = _mm512_setzero_pd();
+                    for (int v = 0; v < nv; ++v)
+                        a = _mm512_fmadd_pd(
+                            _mm512_loadu_pd(fp[q] + (long)v * 8),
+                            _mm512_loadu_pd(wp[q] + (long)v * 8), a);
+                    if (tmask) {
+                        const long o = (long)nv * 8;
+                        a = _mm512_fmadd_pd(
+                            _mm512_maskz_loadu_pd(tmask, fp[q] + o),
+                            _mm512_maskz_loadu_pd(tmask, wp[q] + o), a);
+                    }
+                    *op[q] = _mm512_reduce_add_pd(a);
+                }
+            }
+            nb = 0;
+        };
+        for (long n = n0; n < n1; ++n) {
+            const double *flt = &table[(size_t)(f * fl)];
+            const double *w = hist.raw(s - fll, fl);
+            if (w) {
+                fp[nb] = flt;
+                wp[nb] = w;
+                op[nb] = out + (n - n0);
+                if (++nb == 4) flush();
+            } else {  /* stream-start boundary: zero-extended history */
+                double acc = 0.0;
+                for (long i = 0; i < fl; ++i)
+                    acc += flt[i] * hist.at(s - fll + i);
+                out[n - n0] = acc;
+            }
+            s += sInc;
+            f += fInc;
+            if (f >= outStep) {
+                f -= outStep;
+                ++s;
+            }
+        }
+        flush();
+#else
         for (long n = n0; n < n1; ++n) {
             const double *flt = &table[(size_t)(f * fl)];
             const double *w = hist.raw(s - fll, fl);
@@ -695,6 +1058,7 @@ class FracWholeStage : public Stage {
                 ++s;
             }
         }
+#endif
     }
 
   private:
