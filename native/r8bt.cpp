@@ -497,15 +497,21 @@ class Stage {
 /* y[r] = sum_m k[m] u[r*down+off - m], u = zero-stuffed input
  * (polyphase evaluation; CDSPBlockConvolver content semantics).
  *
- * Execution: per-phase blocked overlap-save FFT convolution on the input
- * grid — the reference DLL's execution model (CDSPBlockConvolver.h:252-354)
- * rather than an O(K)-per-sample loop.  The w stream (full-rate convolver
- * output, t = m*up + ph) is produced block-by-block: one forward FFT of
- * the input window, one spectrum multiply per phase, and one inverse FFT
- * per PAIR of phases (pack w_ph0 + i*w_ph1 — both are real).  Blocks whose
- * input window is complete are cached in a rolling w buffer; the head
- * block (inputs still arriving) is computed transiently.  Tiny kernels
- * keep the direct loop (FFT overhead dominates below ~48 taps/phase). */
+ * Execution: uniformly-partitioned overlap-save FFT convolution (a
+ * frequency-domain delay line) on the input grid — the same
+ * frequency-domain role as the reference DLL's monolithic OLS convolver
+ * (CDSPBlockConvolver.h:252-354), but with the kernel split into P
+ * segments of S taps so every FFT is 2S points and L1-resident:
+ *   X_j = FFT(x[(j-1)S .. (j+1)S)),  block j outputs = last S points of
+ *   IFFT(sum_p X_{j-p} * K_p),       K_p = FFT(segment p, zero-padded).
+ * Phases pair-pack (K_p of phase ph and ph+1 combine into ONE complex
+ * spectrum K0+i*K1, Re/Im of the inverse are the two phase streams).
+ * Complete blocks push their input spectrum into the delay line and are
+ * cached in a rolling w buffer; the head block (inputs still arriving)
+ * reuses a cached tail accumulation sum_{p>=1} X_{j-p}*K_p, so a head
+ * recompute costs one small forward FFT + one MAC + one inverse instead
+ * of a monolithic-block FFT.  Tiny kernels keep the direct loop (FFT
+ * overhead dominates below ~48 taps/phase). */
 class ConvStage : public Stage {
   public:
     long up = 1, down = 1, off = 0, K = 0;
@@ -520,12 +526,26 @@ class ConvStage : public Stage {
         return ((m - 1) * down + off) / up + 1;
     }
     long keepHist() const override {
-        return Kx > 0 ? hop + Kx + 16 : K / up + down + 8;
+        if (Kx == 0 || nfft == 0) return K / up + down + 8;
+        /* oldest input the next emit can read:
+         *   - the FDL window of the next block to extend starts at
+         *     (b0 - 1) * S with b0 = wcEnd / (S*up);
+         *   - the krev head-direct dot reaches Kx back from nIn. */
+        long wcEnd = wcT0 + (long)wc.size();
+        long b0 = wcEnd / ((long)hop * up);
+        long keepF = nIn - (b0 - 1) * hop + 16;
+        long keepD = Kx + hop + 32;
+        return keepF > keepD ? keepF : keepD;
     }
     void clear() override {
         Stage::clear();
         wc.clear();
         wcT0 = 0;
+        lastPushed = -1;
+        accFor = -1;
+        accValid = false;
+        for (auto &v : fdlRe) std::fill(v.begin(), v.end(), 0.0);
+        for (auto &v : fdlIm) std::fill(v.begin(), v.end(), 0.0);
     }
     void emit(double *out, long n0, long n1) override {
         if (Kx == 0) prepare();
@@ -575,10 +595,11 @@ class ConvStage : public Stage {
         bool headDirect = false;
         if (wcEnd <= t_hi) {
             long headCnt = (t_hi - wcEnd) / down + 1;
-            /* breakeven measured on the 24-bit chain (A/B at
-             * nfft*{10,25,100}): the direct dot is cache/latency-bound,
-             * so the FFT block wins above ~45 head outputs */
-            headDirect = headCnt * Kx < (long)nfft * 10;
+            /* breakeven: a head FFT block costs roughly one small
+             * forward + one MAC + one inverse (~50*nfft flops with the
+             * tail accumulation cached); the direct dot costs
+             * 2*Kx*headCnt and is cache/latency-bound */
+            headDirect = headCnt * Kx < (long)nfft * 25;
             if (!headDirect) {
                 headB = wcEnd / (hop * up);
                 computeBlock(headB);
@@ -615,10 +636,16 @@ class ConvStage : public Stage {
     void prepare() {
         Kx = (K + up - 1) / up;
         if (Kx < 48) { nfft = 0; return; }  /* direct path */
-        int nf = 256;
-        while (nf < 4 * (int)Kx) nf <<= 1;
+        /* segment size: FFT buffers (2S complex, split) stay L1/L2-hot */
+#ifndef R8BT_SEG
+#define R8BT_SEG 512
+#endif
+        long S = 128;
+        while (S < Kx && S < R8BT_SEG) S <<= 1;
+        P = (Kx + S - 1) / S;
+        hop = S;
+        int nf = (int)(2 * S);
         nfft = nf;
-        hop = nfft - Kx + 1;
         fft.init(nf);
         fftHalf.init(nf / 2);
         utwRe.assign((size_t)(nf / 2 + 1), 0.0);
@@ -641,38 +668,76 @@ class ConvStage : public Stage {
             }
             krev[(size_t)ph] = std::move(kr);
         }
-        spRe.assign((size_t)up, {});
-        spIm.assign((size_t)up, {});
-        std::vector<double> re((size_t)nf), im((size_t)nf);
-        for (long ph = 0; ph < up; ++ph) {
-            std::fill(re.begin(), re.end(), 0.0);
-            std::fill(im.begin(), im.end(), 0.0);
-            for (long j = ph, i = 0; j < K; j += up, ++i)
-                re[(size_t)i] = k[(size_t)j] / nf;  /* fold 1/N here */
-            fft.run(re.data(), im.data(), false);
-            spRe[(size_t)ph] = re;
-            spIm[(size_t)ph] = im;
-        }
-        /* The pair packing computes Z = X*K_ph + i*(X*K_ph1) =
-         * X * (K_ph + i*K_ph1): fold the two phase spectra into ONE
-         * combined complex spectrum per pair — one complex multiply
-         * per bin instead of two plus a combine, and half the spectrum
-         * bytes streamed from L2 per block. */
-        spCr.assign((size_t)(up / 2), {});
-        spCi.assign((size_t)(up / 2), {});
-        for (long ph = 0; ph + 1 < up; ph += 2) {
-            std::vector<double> cr((size_t)nf), ci((size_t)nf);
-            const double *k0r = spRe[(size_t)ph].data();
-            const double *k0i = spIm[(size_t)ph].data();
-            const double *k1r = spRe[(size_t)(ph + 1)].data();
-            const double *k1i = spIm[(size_t)(ph + 1)].data();
-            for (int i = 0; i < nf; ++i) {
-                cr[(size_t)i] = k0r[i] - k1i[i];
-                ci[(size_t)i] = k0i[i] + k1r[i];
+        /* per-phase segment spectra, then pair-fold: the pair packing
+         * computes Z = X*K_ph + i*(X*K_ph1) = X * (K_ph + i*K_ph1), so
+         * the two phase spectra of each segment fold into ONE combined
+         * complex spectrum — one complex MAC per bin per segment and
+         * half the spectrum bytes streamed per block.  Groups: g <
+         * up/2 are pairs (2g, 2g+1); odd up adds a single last phase. */
+        nGroups = (long)(up / 2) + (up & 1);
+        segRe.assign((size_t)(nGroups * P), {});
+        segIm.assign((size_t)(nGroups * P), {});
+        {
+            std::vector<std::vector<double>> phr((size_t)up),
+                phi((size_t)up);
+            std::vector<double> re((size_t)nf), im((size_t)nf);
+            for (long ph = 0; ph < up; ++ph) {
+                phr[(size_t)ph].assign((size_t)(P * nf), 0.0);
+                phi[(size_t)ph].assign((size_t)(P * nf), 0.0);
+                for (long p = 0; p < P; ++p) {
+                    std::fill(re.begin(), re.end(), 0.0);
+                    std::fill(im.begin(), im.end(), 0.0);
+                    for (long j = p * S; j < (p + 1) * S && j < Kx; ++j) {
+                        long m = ph + up * j;
+                        if (m < K)
+                            re[(size_t)(j - p * S)] =
+                                k[(size_t)m] / nf;  /* fold 1/N here */
+                    }
+                    fft.run(re.data(), im.data(), false);
+                    std::memcpy(phr[(size_t)ph].data() + p * nf, re.data(),
+                                (size_t)nf * sizeof(double));
+                    std::memcpy(phi[(size_t)ph].data() + p * nf, im.data(),
+                                (size_t)nf * sizeof(double));
+                }
             }
-            spCr[(size_t)(ph / 2)] = std::move(cr);
-            spCi[(size_t)(ph / 2)] = std::move(ci);
+            for (long g = 0; g < nGroups; ++g) {
+                const bool pair = 2 * g + 1 < up;
+                for (long p = 0; p < P; ++p) {
+                    std::vector<double> cr((size_t)nf), ci((size_t)nf);
+                    const double *k0r = phr[(size_t)(2 * g)].data() + p * nf;
+                    const double *k0i = phi[(size_t)(2 * g)].data() + p * nf;
+                    if (pair) {
+                        const double *k1r =
+                            phr[(size_t)(2 * g + 1)].data() + p * nf;
+                        const double *k1i =
+                            phi[(size_t)(2 * g + 1)].data() + p * nf;
+                        for (int i = 0; i < nf; ++i) {
+                            cr[(size_t)i] = k0r[i] - k1i[i];
+                            ci[(size_t)i] = k0i[i] + k1r[i];
+                        }
+                    } else {
+                        std::memcpy(cr.data(), k0r,
+                                    (size_t)nf * sizeof(double));
+                        std::memcpy(ci.data(), k0i,
+                                    (size_t)nf * sizeof(double));
+                    }
+                    segRe[(size_t)(g * P + p)] = std::move(cr);
+                    segIm[(size_t)(g * P + p)] = std::move(ci);
+                }
+            }
         }
+        pXr.assign((size_t)P, nullptr);
+        pXi.assign((size_t)P, nullptr);
+        pKr.assign((size_t)P, nullptr);
+        pKi.assign((size_t)P, nullptr);
+        fdlRe.assign((size_t)P, std::vector<double>((size_t)nf, 0.0));
+        fdlIm.assign((size_t)P, std::vector<double>((size_t)nf, 0.0));
+        accR.assign((size_t)nGroups, std::vector<double>((size_t)nf, 0.0));
+        accI.assign((size_t)nGroups, std::vector<double>((size_t)nf, 0.0));
+        lastPushed = -1;
+        accFor = -1;
+        accValid = false;
+        rbuf.assign((size_t)nf, 0.0);
         xre.assign((size_t)nf, 0.0);
         xim.assign((size_t)nf, 0.0);
         yre.assign((size_t)nf, 0.0);
@@ -680,15 +745,118 @@ class ConvStage : public Stage {
         blk.assign((size_t)(hop * up), 0.0);
     }
 
+    /* z (+)= x * c, elementwise complex over split f64 arrays */
+    static void cmac(double *zr, double *zi, const double *xr,
+                     const double *xi, const double *cr, const double *ci,
+                     int nf, bool first) {
+        int i = 0;
+#if R8BT_AVX512
+        if (first) {
+            for (; i + 8 <= nf; i += 8) {
+                __m512d a = _mm512_loadu_pd(xr + i);
+                __m512d b = _mm512_loadu_pd(xi + i);
+                __m512d c = _mm512_loadu_pd(cr + i);
+                __m512d d = _mm512_loadu_pd(ci + i);
+                _mm512_storeu_pd(zr + i,
+                                 _mm512_fmsub_pd(a, c, _mm512_mul_pd(b, d)));
+                _mm512_storeu_pd(zi + i,
+                                 _mm512_fmadd_pd(a, d, _mm512_mul_pd(b, c)));
+            }
+        } else {
+            for (; i + 8 <= nf; i += 8) {
+                __m512d a = _mm512_loadu_pd(xr + i);
+                __m512d b = _mm512_loadu_pd(xi + i);
+                __m512d c = _mm512_loadu_pd(cr + i);
+                __m512d d = _mm512_loadu_pd(ci + i);
+                __m512d sr = _mm512_loadu_pd(zr + i);
+                __m512d si = _mm512_loadu_pd(zi + i);
+                sr = _mm512_fmadd_pd(a, c, _mm512_fnmadd_pd(b, d, sr));
+                si = _mm512_fmadd_pd(a, d, _mm512_fmadd_pd(b, c, si));
+                _mm512_storeu_pd(zr + i, sr);
+                _mm512_storeu_pd(zi + i, si);
+            }
+        }
+#endif
+        if (first) {
+            for (; i < nf; ++i) {
+                zr[i] = xr[i] * cr[i] - xi[i] * ci[i];
+                zi[i] = xr[i] * ci[i] + xi[i] * cr[i];
+            }
+        } else {
+            for (; i < nf; ++i) {
+                zr[i] += xr[i] * cr[i] - xi[i] * ci[i];
+                zi[i] += xr[i] * ci[i] + xi[i] * cr[i];
+            }
+        }
+    }
+
+    /* z = sum_p x_p * c_p, single pass over bins with the accumulator
+     * held in registers (the per-p cmac form re-reads and re-writes z
+     * from L2 once per segment; this reads each spectrum once and
+     * writes z once) */
+    static void cmacFused(double *zr, double *zi, const double *const *xr,
+                          const double *const *xi, const double *const *cr,
+                          const double *const *ci, long nP, int nf) {
+        if (nP == 0) {
+            std::memset(zr, 0, (size_t)nf * sizeof(double));
+            std::memset(zi, 0, (size_t)nf * sizeof(double));
+            return;
+        }
+        int i = 0;
+#if R8BT_AVX512
+        for (; i + 8 <= nf; i += 8) {
+            __m512d sr = _mm512_setzero_pd();
+            __m512d si = _mm512_setzero_pd();
+            for (long p = 0; p < nP; ++p) {
+                __m512d a = _mm512_loadu_pd(xr[p] + i);
+                __m512d b = _mm512_loadu_pd(xi[p] + i);
+                __m512d c = _mm512_loadu_pd(cr[p] + i);
+                __m512d d = _mm512_loadu_pd(ci[p] + i);
+                sr = _mm512_fmadd_pd(a, c, _mm512_fnmadd_pd(b, d, sr));
+                si = _mm512_fmadd_pd(a, d, _mm512_fmadd_pd(b, c, si));
+            }
+            _mm512_storeu_pd(zr + i, sr);
+            _mm512_storeu_pd(zi + i, si);
+        }
+#endif
+        for (; i < nf; ++i) {
+            double sr = 0.0, si = 0.0;
+            for (long p = 0; p < nP; ++p) {
+                sr += xr[p][i] * cr[p][i] - xi[p][i] * ci[p][i];
+                si += xr[p][i] * ci[p][i] + xi[p][i] * cr[p][i];
+            }
+            zr[i] = sr;
+            zi[i] = si;
+        }
+    }
+
     /* Forward FFT of the real input window via a half-size complex FFT
      * (pack z[m] = x[2m] + i x[2m+1], untwiddle, unfold by conjugate
      * symmetry) — ~45% cheaper than a full-size complex FFT of real
-     * data.  Results land in xre/xim as the full N-point spectrum. */
-    void realForward() {
+     * data.  Reads the real window from rbuf; the full N-point spectrum
+     * lands in (outRe, outIm) — an FDL ring slot for complete blocks,
+     * the xre/xim scratch for the transient head block. */
+    void realForward(double *outRe, double *outIm) {
         const int h = nfft / 2;
-        for (int m = 0; m < h; ++m) {
-            zre[(size_t)m] = xre[(size_t)(2 * m)];
-            zim[(size_t)m] = xre[(size_t)(2 * m + 1)];
+        int m = 0;
+#if R8BT_AVX512
+        {
+            /* stride-2 deinterleave: even lanes -> zre, odd -> zim */
+            const __m512i iev = _mm512_set_epi64(14, 12, 10, 8, 6, 4, 2, 0);
+            const __m512i iod = _mm512_set_epi64(15, 13, 11, 9, 7, 5, 3, 1);
+            for (; m + 8 <= h; m += 8) {
+                __m512d a = _mm512_loadu_pd(rbuf.data() + 2 * m);
+                __m512d b = _mm512_loadu_pd(rbuf.data() + 2 * m + 8);
+                _mm512_storeu_pd(zre.data() + m,
+                                 _mm512_permutex2var_pd(a, iev, b));
+                _mm512_storeu_pd(zim.data() + m,
+                                 _mm512_permutex2var_pd(a, iod, b));
+            }
+        }
+#endif
+        for (; m < h; ++m) {
+            zre[(size_t)m] = rbuf[(size_t)(2 * m)];
+            zim[(size_t)m] = rbuf[(size_t)(2 * m + 1)];
         }
         fftHalf.run(zre.data(), zim.data(), false);
         /* X[k] = E[k] + w^k O[k], E = (Z[k]+conj(Z[h-k]))/2,
@@ -715,12 +883,12 @@ class ConvStage : public Stage {
                 __m512d twr = _mm512_loadu_pd(utwRe.data() + k);
                 __m512d twi = _mm512_loadu_pd(utwIm.data() + k);
                 _mm512_storeu_pd(
-                    xre.data() + k,
+                    outRe + k,
                     _mm512_fmadd_pd(
                         orr, twr,
                         _mm512_fnmadd_pd(oi, twi, er)));
                 _mm512_storeu_pd(
-                    xim.data() + k,
+                    outIm + k,
                     _mm512_fmadd_pd(
                         orr, twi,
                         _mm512_fmadd_pd(oi, twr, ei)));
@@ -734,106 +902,158 @@ class ConvStage : public Stage {
             double er = 0.5 * (zr + cr), ei = 0.5 * (zi + ci);
             double orr = 0.5 * (zi - ci), oi = -0.5 * (zr - cr);
             double twr = utwRe[(size_t)k], twi = utwIm[(size_t)k];
-            xre[(size_t)k] = er + orr * twr - oi * twi;
-            xim[(size_t)k] = ei + orr * twi + oi * twr;
+            outRe[(size_t)k] = er + orr * twr - oi * twi;
+            outIm[(size_t)k] = ei + orr * twi + oi * twr;
         }
-        xre[0] = zre[0] + zim[0];
-        xim[0] = 0.0;
-        xre[(size_t)h] = zre[0] - zim[0];  /* Nyquist */
-        xim[(size_t)h] = 0.0;
-        /* upper half is implied by conjugate symmetry; the spectrum
-         * multiply reads it via X[nf-k] = conj(X[k]) (second loop in
-         * computeBlock) instead of materializing the mirror */
+        outRe[0] = zre[0] + zim[0];
+        outIm[0] = 0.0;
+        outRe[(size_t)h] = zre[0] - zim[0];  /* Nyquist */
+        outIm[(size_t)h] = 0.0;
+        /* materialize the conjugate-symmetric upper half once: the FDL
+         * MACs then run branch-free over all nf bins (the combined
+         * pair spectra K0 + i*K1 are not symmetric, so Z is not) */
+        int q = 1;
+#if R8BT_AVX512
+        {
+            const __m512i ridx = _mm512_set_epi64(0, 1, 2, 3, 4, 5, 6, 7);
+            const __m512d mz = _mm512_setzero_pd();
+            for (; q + 8 <= h; q += 8) {
+                __m512d a = _mm512_permutexvar_pd(
+                    ridx, _mm512_loadu_pd(outRe + q));
+                __m512d bneg = _mm512_sub_pd(
+                    mz, _mm512_permutexvar_pd(
+                            ridx, _mm512_loadu_pd(outIm + q)));
+                _mm512_storeu_pd(outRe + (nfft - q - 7), a);
+                _mm512_storeu_pd(outIm + (nfft - q - 7), bneg);
+            }
+        }
+#endif
+        for (; q < h; ++q) {
+            outRe[(size_t)(nfft - q)] = outRe[(size_t)q];
+            outIm[(size_t)(nfft - q)] = -outIm[(size_t)q];
+        }
     }
 
-    /* fill blk[] with w[t] for t in [b*hop*up, (b*hop+hop)*up) */
+    /* forward-FFT the window of block b into (dr, di):
+     * window = inputs [(b-1)*S, (b+1)*S), zero-extended outside the
+     * arrived/kept range (exact for every emitted output, whose inputs
+     * availOut() guarantees have arrived) */
+    void frameFFT(long b, double *dr, double *di) {
+        hist.copyRange((b - 1) * hop, nfft, rbuf.data());
+        realForward(dr, di);
+    }
+
+    /* push complete blocks (from + .. to) into the spectrum delay line */
+    void pushThrough(long to) {
+        long from = lastPushed + 1;
+        if (from < to - P + 1) from = to - P + 1;  /* older slots dead */
+        if (from < 0) from = 0;
+        for (long i = from; i <= to; ++i)
+            frameFFT(i, fdlRe[(size_t)(i % P)].data(),
+                     fdlIm[(size_t)(i % P)].data());
+        if (to > lastPushed) lastPushed = to;
+    }
+
+    /* fill blk[] with w[t] for t in [b*S*up, (b*S+S)*up).  Complete
+     * blocks ((b+1)*S <= nIn) advance the delay line; the head block
+     * reuses a cached tail accumulation sum_{p>=1} X_{b-p}*K_p so its
+     * per-call recompute is one small forward FFT + one MAC + one
+     * inverse per phase group. */
     void computeBlock(long b) {
         const int nf = nfft;
-        hist.copyRange(b * hop - (Kx - 1), nf, xre.data());
-        realForward();
-        for (long ph = 0; ph < up; ph += 2) {
+        const long S = hop;
+        const bool complete = (b + 1) * S <= nIn;
+        if (complete) {
+            pushThrough(b);
+        } else {
+            pushThrough(b - 1);
+            frameFFT(b, xre.data(), xim.data());
+            if (accFor != b || !accValid) {
+                for (long g = 0; g < nGroups; ++g) {
+                    long nP = 0;
+                    for (long p = 1; p < P; ++p) {
+                        long idx = b - p;
+                        if (idx < 0) break;
+                        pXr[(size_t)nP] = fdlRe[(size_t)(idx % P)].data();
+                        pXi[(size_t)nP] = fdlIm[(size_t)(idx % P)].data();
+                        pKr[(size_t)nP] = segRe[(size_t)(g * P + p)].data();
+                        pKi[(size_t)nP] = segIm[(size_t)(g * P + p)].data();
+                        ++nP;
+                    }
+                    cmacFused(accR[(size_t)g].data(),
+                              accI[(size_t)g].data(), pXr.data(),
+                              pXi.data(), pKr.data(), pKi.data(), nP, nf);
+                }
+                accFor = b;
+                accValid = true;
+            }
+        }
+        for (long g = 0; g < nGroups; ++g) {
+            const long ph = 2 * g;
             const bool pair = ph + 1 < up;
-            /* pair: one combined complex spectrum (see prepare);
-             * unpaired trailing phase (odd up): the single spectrum */
-            const double *kr = pair ? spCr[(size_t)(ph / 2)].data()
-                                    : spRe[(size_t)ph].data();
-            const double *ki = pair ? spCi[(size_t)(ph / 2)].data()
-                                    : spIm[(size_t)ph].data();
-            const int hf = nf / 2;
-            int i = 0;
+            if (complete) {
+                long nP = 0;
+                for (long p = 0; p < P; ++p) {
+                    long idx = b - p;
+                    if (idx < 0) break;
+                    pXr[(size_t)nP] = fdlRe[(size_t)(idx % P)].data();
+                    pXi[(size_t)nP] = fdlIm[(size_t)(idx % P)].data();
+                    pKr[(size_t)nP] = segRe[(size_t)(g * P + p)].data();
+                    pKi[(size_t)nP] = segIm[(size_t)(g * P + p)].data();
+                    ++nP;
+                }
+                cmacFused(yre.data(), yim.data(), pXr.data(), pXi.data(),
+                          pKr.data(), pKi.data(), nP, nf);
+            } else {
+                /* head: Z = X_head * K_0 + cached tail acc */
+                cmac(yre.data(), yim.data(), xre.data(), xim.data(),
+                     segRe[(size_t)(g * P)].data(),
+                     segIm[(size_t)(g * P)].data(), nf, true);
+                const double *ar = accR[(size_t)g].data();
+                const double *ai_ = accI[(size_t)g].data();
+                int i = 0;
 #if R8BT_AVX512
-            for (; i + 8 <= hf + 1; i += 8) {
-                __m512d xr = _mm512_loadu_pd(xre.data() + i);
-                __m512d xi = _mm512_loadu_pd(xim.data() + i);
-                __m512d cr = _mm512_loadu_pd(kr + i);
-                __m512d ci = _mm512_loadu_pd(ki + i);
-                _mm512_storeu_pd(
-                    yre.data() + i,
-                    _mm512_fmsub_pd(xr, cr, _mm512_mul_pd(xi, ci)));
-                _mm512_storeu_pd(
-                    yim.data() + i,
-                    _mm512_fmadd_pd(xr, ci, _mm512_mul_pd(xi, cr)));
-            }
-#endif
-            for (; i <= hf; ++i) {
-                double xr = xre[(size_t)i], xi = xim[(size_t)i];
-                yre[(size_t)i] = xr * kr[i] - xi * ki[i];
-                yim[(size_t)i] = xr * ki[i] + xi * kr[i];
-            }
-            i = hf + 1;
-#if R8BT_AVX512
-            {
-                const __m512i ridx = _mm512_set_epi64(0, 1, 2, 3, 4, 5, 6, 7);
                 for (; i + 8 <= nf; i += 8) {
-                    /* X[i] = conj(X[nf-i]): reversed loads of the lower
-                     * half */
-                    __m512d xr = _mm512_permutexvar_pd(
-                        ridx, _mm512_loadu_pd(xre.data() + (nf - i - 7)));
-                    __m512d xi = _mm512_sub_pd(
-                        _mm512_setzero_pd(),
-                        _mm512_permutexvar_pd(
-                            ridx,
-                            _mm512_loadu_pd(xim.data() + (nf - i - 7))));
-                    __m512d cr = _mm512_loadu_pd(kr + i);
-                    __m512d ci = _mm512_loadu_pd(ki + i);
                     _mm512_storeu_pd(
                         yre.data() + i,
-                        _mm512_fmsub_pd(xr, cr, _mm512_mul_pd(xi, ci)));
+                        _mm512_add_pd(_mm512_loadu_pd(yre.data() + i),
+                                      _mm512_loadu_pd(ar + i)));
                     _mm512_storeu_pd(
                         yim.data() + i,
-                        _mm512_fmadd_pd(xr, ci, _mm512_mul_pd(xi, cr)));
+                        _mm512_add_pd(_mm512_loadu_pd(yim.data() + i),
+                                      _mm512_loadu_pd(ai_ + i)));
+                }
+#endif
+                for (; i < nf; ++i) {
+                    yre[(size_t)i] += ar[i];
+                    yim[(size_t)i] += ai_[i];
                 }
             }
-#endif
-            for (; i < nf; ++i) {  /* X[i] = conj(X[nf-i]) */
-                double xr = xre[(size_t)(nf - i)];
-                double xi = -xim[(size_t)(nf - i)];
-                yre[(size_t)i] = xr * kr[i] - xi * ki[i];
-                yim[(size_t)i] = xr * ki[i] + xi * kr[i];
-            }
             fft.run(yre.data(), yim.data(), true);
+            /* valid outputs: last S points (the first S carry circular
+             * wrap from the S-tap segments) */
             long m = 0;
 #if R8BT_AVX512
-            if (up == 2 && pair && ph == 0) {
+            if (up == 2) {
                 /* full interleave [w0 w1 w0 w1 ...] of the two phase
                  * streams in one pass (the scalar loop is a stride-2
                  * scatter gcc leaves scalar) */
                 const __m512i ilo = _mm512_set_epi64(11, 3, 10, 2, 9, 1, 8, 0);
                 const __m512i ihi =
                     _mm512_set_epi64(15, 7, 14, 6, 13, 5, 12, 4);
-                for (; m + 8 <= hop; m += 8) {
-                    long j = m + Kx - 1;
+                for (; m + 8 <= S; m += 8) {
+                    long j = m + S;
                     __m512d a = _mm512_loadu_pd(yre.data() + j);
-                    __m512d b = _mm512_loadu_pd(yim.data() + j);
+                    __m512d bv = _mm512_loadu_pd(yim.data() + j);
                     _mm512_storeu_pd(blk.data() + 2 * m,
-                                     _mm512_permutex2var_pd(a, ilo, b));
+                                     _mm512_permutex2var_pd(a, ilo, bv));
                     _mm512_storeu_pd(blk.data() + 2 * m + 8,
-                                     _mm512_permutex2var_pd(a, ihi, b));
+                                     _mm512_permutex2var_pd(a, ihi, bv));
                 }
             }
 #endif
-            for (; m < hop; ++m) {
-                long j = m + Kx - 1;
+            for (; m < S; ++m) {
+                long j = m + S;
                 blk[(size_t)(m * up + ph)] = yre[(size_t)j];
                 if (pair) blk[(size_t)(m * up + ph + 1)] = yim[(size_t)j];
             }
@@ -841,11 +1061,20 @@ class ConvStage : public Stage {
     }
 
     long Kx = 0;
-    int nfft = 0;
-    long hop = 0;
+    int nfft = 0;      /* 2*S */
+    long hop = 0;      /* segment / block size S */
+    long P = 0;        /* kernel segments per phase */
+    long nGroups = 0;  /* phase pairs (+1 single when up is odd) */
     CFFT fft, fftHalf;
-    std::vector<std::vector<double>> spRe, spIm, spCr, spCi, krev;
-    std::vector<double> xre, xim, yre, yim, blk;
+    std::vector<std::vector<double>> krev;
+    /* combined segment spectra [group * P + p], delay line [p], and the
+     * head block's cached tail accumulation [group] */
+    std::vector<std::vector<double>> segRe, segIm, fdlRe, fdlIm, accR, accI;
+    std::vector<const double *> pXr, pXi, pKr, pKi;  /* MAC ptr scratch */
+    long lastPushed = -1;  /* newest complete block in the delay line */
+    long accFor = -1;      /* head block the tail acc was built for */
+    bool accValid = false;
+    std::vector<double> rbuf, xre, xim, yre, yim, blk;
     std::vector<double> zre, zim, utwRe, utwIm;
     std::vector<double> wc;  /* cached w stream, absolute t = wcT0.. */
     long wcT0 = 0;
@@ -867,10 +1096,12 @@ class HBUpStage : public Stage {
     }
     long keepHist() const override { return 2 * nt + 8; }
     void emit(double *out, long n0, long n1) override {
-        for (long s = n0 + outLat; s < n1 + outLat; ++s) {
-            long n = s / 2;
+        long s = n0 + outLat;
+        const long sEnd = n1 + outLat;
+        auto one = [&](long s_) {
+            long n = s_ / 2;
             double v;
-            if ((s & 1) == 0) {
+            if ((s_ & 1) == 0) {
                 v = hist.at(n);
             } else {
                 v = 0.0;
@@ -878,8 +1109,44 @@ class HBUpStage : public Stage {
                     v += taps[(size_t)i] *
                          (hist.at(n + 1 + i) + hist.at(n - i));
             }
-            out[s - outLat - n0] = v;
+            out[s_ - outLat - n0] = v;
+        };
+#if R8BT_AVX512
+        /* 16 outputs (8 input positions) per iteration: the odd-output
+         * stencil is nt FMAs over unit-stride loads, evens interleave in
+         * with a 2-source permute */
+        const __m512i ilo = _mm512_set_epi64(11, 3, 10, 2, 9, 1, 8, 0);
+        const __m512i ihi = _mm512_set_epi64(15, 7, 14, 6, 13, 5, 12, 4);
+        while (s < sEnd) {
+            if ((s & 1) != 0 || s + 16 > sEnd) {
+                if (s >= sEnd) break;
+                one(s);
+                ++s;
+                continue;
+            }
+            long n = s / 2;
+            const double *W = hist.raw(n - (nt - 1), 2 * nt + 15);
+            if (!W) {
+                one(s);
+                ++s;
+                continue;
+            }
+            const double *C = W + (nt - 1); /* x[n + t] = C[t] */
+            __m512d ev = _mm512_loadu_pd(C);
+            __m512d od = _mm512_setzero_pd();
+            for (long i = 0; i < nt; ++i)
+                od = _mm512_fmadd_pd(
+                    _mm512_set1_pd(taps[(size_t)i]),
+                    _mm512_add_pd(_mm512_loadu_pd(C + 1 + i),
+                                  _mm512_loadu_pd(C - i)),
+                    od);
+            double *o = out + (s - outLat - n0);
+            _mm512_storeu_pd(o, _mm512_permutex2var_pd(ev, ilo, od));
+            _mm512_storeu_pd(o + 8, _mm512_permutex2var_pd(ev, ihi, od));
+            s += 16;
         }
+#endif
+        for (; s < sEnd; ++s) one(s);
     }
 };
 
@@ -903,13 +1170,43 @@ class HBDownStage : public Stage {
     }
     long keepHist() const override { return 4 * nt + 8; }
     void emit(double *out, long n0, long n1) override {
-        for (long n = n0 + outLat; n < n1 + outLat; ++n) {
-            double v = hist.at(2 * n);
+        long n = n0 + outLat;
+        const long nEnd = n1 + outLat;
+        auto one = [&](long n_) {
+            double v = hist.at(2 * n_);
             for (long i = 0; i < nt; ++i)
-                v += taps[(size_t)i] *
-                     (hist.at(2 * n + 1 + 2 * i) + hist.at(2 * n - 1 - 2 * i));
-            out[n - outLat - n0] = v;
+                v += taps[(size_t)i] * (hist.at(2 * n_ + 1 + 2 * i) +
+                                        hist.at(2 * n_ - 1 - 2 * i));
+            out[n_ - outLat - n0] = v;
+        };
+#if R8BT_AVX512
+        /* 8 outputs per iteration; each stride-2 tap read deinterleaves
+         * two contiguous loads with a 2-source permute */
+        const __m512i iev = _mm512_set_epi64(14, 12, 10, 8, 6, 4, 2, 0);
+        while (n + 8 <= nEnd) {
+            const double *W = hist.raw(2 * n - 2 * nt + 1, 4 * nt + 14);
+            if (!W) {
+                one(n);
+                ++n;
+                continue;
+            }
+            const long c0 = 2 * nt - 1; /* x[2n + c] = W[c0 + c + 2t] */
+            auto dei = [&](long rel) {
+                __m512d a = _mm512_loadu_pd(W + rel);
+                __m512d b = _mm512_loadu_pd(W + rel + 8);
+                return _mm512_permutex2var_pd(a, iev, b);
+            };
+            __m512d acc = dei(c0);
+            for (long i = 0; i < nt; ++i)
+                acc = _mm512_fmadd_pd(
+                    _mm512_set1_pd(taps[(size_t)i]),
+                    _mm512_add_pd(dei(c0 + 1 + 2 * i), dei(c0 - 1 - 2 * i)),
+                    acc);
+            _mm512_storeu_pd(out + (n - outLat - n0), acc);
+            n += 8;
         }
+#endif
+        for (; n < nEnd; ++n) one(n);
     }
 };
 
@@ -935,17 +1232,110 @@ class FracWholeStage : public Stage {
         return fl + inStep / outStep + 16;
     }
     void emit(double *out, long n0, long n1) override {
+        if (!tablesBuilt) buildTables();
+        long n = n0;
+#if R8BT_AVX512
+        if (outStep >= 8) {
+            /* supercycle-table path: outputs n with n % outStep == q
+             * share precomputed phase rows qRow[q] and window offsets
+             * qS[q] (period outStep outputs = inStep inputs), so the
+             * steady loop has no div/mod, no per-output history range
+             * check, and a 4-output transposed horizontal reduction —
+             * the same two optimizations as the reference's
+             * whole-stepping fast path (convolve0<FL> templates +
+             * PosIncr stepping, CDSPFracInterpolator.h:991-1060) */
+            long nAlign = ((n + outStep - 1) / outStep) * outStep;
+            if (nAlign > n1) nAlign = n1;
+            emitGeneric(out, n0, n, nAlign);
+            n = nAlign;
+            const long nq4 = outStep & ~3L;
+            while (n + outStep <= n1) {
+                long g = w0 + n * inStep;
+                long sBase = g / outStep;
+                const double *W = hist.raw(sBase - (fl2() - 1), span);
+                if (!W) {  /* stream-start boundary */
+                    emitGeneric(out, n0, n, n + outStep);
+                    n += outStep;
+                    continue;
+                }
+                double *o = out + (n - n0);
+                const double *tab = table.data();
+                const long *qR = qRow.data(), *qO = qS.data();
+                const int nv = (int)(fl >> 3);
+                const unsigned rem = (unsigned)(fl & 7);
+                const __mmask8 tm =
+                    rem ? (__mmask8)((1u << rem) - 1) : (__mmask8)0;
+                for (long q = 0; q < nq4; q += 4) {
+                    const double *f0 = tab + qR[q], *f1 = tab + qR[q + 1];
+                    const double *f2 = tab + qR[q + 2],
+                                 *f3 = tab + qR[q + 3];
+                    const double *w0p = W + qO[q], *w1p = W + qO[q + 1];
+                    const double *w2p = W + qO[q + 2],
+                                 *w3p = W + qO[q + 3];
+                    __m512d a0 = _mm512_setzero_pd(), a1 = a0, a2 = a0,
+                            a3 = a0;
+                    for (int v = 0; v < nv; ++v) {
+                        const long ofs = (long)v * 8;
+                        a0 = _mm512_fmadd_pd(_mm512_loadu_pd(f0 + ofs),
+                                             _mm512_loadu_pd(w0p + ofs), a0);
+                        a1 = _mm512_fmadd_pd(_mm512_loadu_pd(f1 + ofs),
+                                             _mm512_loadu_pd(w1p + ofs), a1);
+                        a2 = _mm512_fmadd_pd(_mm512_loadu_pd(f2 + ofs),
+                                             _mm512_loadu_pd(w2p + ofs), a2);
+                        a3 = _mm512_fmadd_pd(_mm512_loadu_pd(f3 + ofs),
+                                             _mm512_loadu_pd(w3p + ofs), a3);
+                    }
+                    if (tm) {
+                        const long ofs = (long)nv * 8;
+                        a0 = _mm512_fmadd_pd(
+                            _mm512_maskz_loadu_pd(tm, f0 + ofs),
+                            _mm512_maskz_loadu_pd(tm, w0p + ofs), a0);
+                        a1 = _mm512_fmadd_pd(
+                            _mm512_maskz_loadu_pd(tm, f1 + ofs),
+                            _mm512_maskz_loadu_pd(tm, w1p + ofs), a1);
+                        a2 = _mm512_fmadd_pd(
+                            _mm512_maskz_loadu_pd(tm, f2 + ofs),
+                            _mm512_maskz_loadu_pd(tm, w2p + ofs), a2);
+                        a3 = _mm512_fmadd_pd(
+                            _mm512_maskz_loadu_pd(tm, f3 + ofs),
+                            _mm512_maskz_loadu_pd(tm, w3p + ofs), a3);
+                    }
+                    _mm256_storeu_pd(o + q, hsum4(a0, a1, a2, a3));
+                }
+                for (long q = nq4; q < outStep; ++q) {
+                    const double *fp = tab + qR[q];
+                    const double *wp = W + qO[q];
+                    __m512d a = _mm512_setzero_pd();
+                    for (int v = 0; v < nv; ++v)
+                        a = _mm512_fmadd_pd(
+                            _mm512_loadu_pd(fp + (long)v * 8),
+                            _mm512_loadu_pd(wp + (long)v * 8), a);
+                    if (tm) {
+                        const long ofs = (long)nv * 8;
+                        a = _mm512_fmadd_pd(
+                            _mm512_maskz_loadu_pd(tm, fp + ofs),
+                            _mm512_maskz_loadu_pd(tm, wp + ofs), a);
+                    }
+                    o[q] = _mm512_reduce_add_pd(a);
+                }
+                n += outStep;
+            }
+        }
+#endif
+        emitGeneric(out, n0, n, n1);
+    }
+
+    /* generic path: incremental phase stepping + fixed-length tap dots
+     * (used below outStep 8, for the misaligned prefix/suffix of each
+     * emit, and for supercycles overlapping the stream-start zeros) */
+    void emitGeneric(double *out, long nBase, long nFrom, long nTo) {
+        if (nFrom >= nTo) return;
         long fll = fl2() - 1;
-        /* incremental phase stepping (no div/mod per output) + fixed-
-         * length tap dots the compiler can unroll/vectorize — the same
-         * two optimizations as the reference's whole-stepping fast path
-         * (convolve0<FL> templates + PosIncr stepping,
-         * CDSPFracInterpolator.h:991-1060) */
-        long g0 = w0 + n0 * inStep;
+        long g0 = w0 + nFrom * inStep;
         long s = g0 / outStep;
         long f = g0 % outStep;
         const long sInc = inStep / outStep, fInc = inStep % outStep;
-#if R8BT_AVX512
+        #if R8BT_AVX512
         /* Four outputs in flight: 4 independent FMA accumulator chains
          * hide the 4-cycle FMA latency the single-output reduction loop
          * is bound by; the tail vector of non-multiple-of-8 tap counts
@@ -1008,19 +1398,19 @@ class FracWholeStage : public Stage {
             }
             nb = 0;
         };
-        for (long n = n0; n < n1; ++n) {
+        for (long n = nFrom; n < nTo; ++n) {
             const double *flt = &table[(size_t)(f * fl)];
             const double *w = hist.raw(s - fll, fl);
             if (w) {
                 fp[nb] = flt;
                 wp[nb] = w;
-                op[nb] = out + (n - n0);
+                op[nb] = out + (n - nBase);
                 if (++nb == 4) flush();
             } else {  /* stream-start boundary: zero-extended history */
                 double acc = 0.0;
                 for (long i = 0; i < fl; ++i)
                     acc += flt[i] * hist.at(s - fll + i);
-                out[n - n0] = acc;
+                out[n - nBase] = acc;
             }
             s += sInc;
             f += fInc;
@@ -1031,7 +1421,7 @@ class FracWholeStage : public Stage {
         }
         flush();
 #else
-        for (long n = n0; n < n1; ++n) {
+        for (long n = nFrom; n < nTo; ++n) {
             const double *flt = &table[(size_t)(f * fl)];
             const double *w = hist.raw(s - fll, fl);
             double acc = 0.0;
@@ -1050,7 +1440,7 @@ class FracWholeStage : public Stage {
                 for (long i = 0; i < fl; ++i)
                     acc += flt[i] * hist.at(s - fll + i);
             }
-            out[n - n0] = acc;
+            out[n - nBase] = acc;
             s += sInc;
             f += fInc;
             if (f >= outStep) {
@@ -1062,6 +1452,43 @@ class FracWholeStage : public Stage {
     }
 
   private:
+#if R8BT_AVX512
+    /* transposed horizontal reduction: sums of four 8-lane accumulators
+     * as one [s0 s1 s2 s3] vector */
+    static inline __m256d hsum4(__m512d a0, __m512d a1, __m512d a2,
+                                __m512d a3) {
+        __m512d t01 = _mm512_add_pd(_mm512_unpacklo_pd(a0, a1),
+                                    _mm512_unpackhi_pd(a0, a1));
+        __m512d t23 = _mm512_add_pd(_mm512_unpacklo_pd(a2, a3),
+                                    _mm512_unpackhi_pd(a2, a3));
+        __m512d v = _mm512_add_pd(_mm512_shuffle_f64x2(t01, t23, 0x88),
+                                  _mm512_shuffle_f64x2(t01, t23, 0xDD));
+        __m512d r = _mm512_add_pd(v, _mm512_permutex_pd(v, 0x4E));
+        return _mm256_insertf128_pd(
+            _mm256_castpd128_pd256(_mm512_castpd512_pd128(r)),
+            _mm512_extractf64x2_pd(r, 2), 1);
+    }
+#endif
+
+    /* per-supercycle tables: for outputs n with n % outStep == q,
+     * f(n) and s(n) - s(supercycle base) are functions of q only */
+    void buildTables() {
+        qRow.assign((size_t)outStep, 0);
+        qS.assign((size_t)outStep, 0);
+        const long f0c = ((w0 % outStep) + outStep) % outStep;
+        for (long q = 0; q < outStep; ++q) {
+            long g = f0c + q * inStep;
+            qS[(size_t)q] = g / outStep;
+            qRow[(size_t)q] = (g % outStep) * fl;
+        }
+        span = qS[(size_t)(outStep - 1)] + fl;
+        tablesBuilt = true;
+    }
+
+    std::vector<long> qRow, qS;
+    long span = 0;
+    bool tablesBuilt = false;
+
     template <int FL>
     static double dotf(const double *flt, const double *w) {
         double acc = 0.0;
@@ -1134,15 +1561,23 @@ struct Engine {
         for (auto *s : stages) s->clear();
     }
     long process(const double *in, long n, double **out) {
-        bufA.assign(in, in + n);
+        const double *curp = in;
+        long curn = n;
         std::vector<double> *cur = &bufA, *nxt = &bufB;
         for (auto *s : stages) {
-            long m = s->process(cur->data(), (long)cur->size(), *nxt);
+            long m = s->process(curp, curn, *nxt);
             nxt->resize((size_t)m);
             std::swap(cur, nxt);
+            curp = cur->data();
+            curn = m;
+        }
+        if (stages.empty()) {  /* identity plan: mirror input */
+            bufA.assign(in, in + n);
+            *out = bufA.data();
+            return n;
         }
         *out = cur->data();
-        return (long)cur->size();
+        return (long)curn;
     }
     long inForOut(long m) const {
         for (auto it = stages.rbegin(); it != stages.rend(); ++it)
