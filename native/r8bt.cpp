@@ -1532,6 +1532,61 @@ class FracPolyStage : public Stage {
     }
     void emit(double *out, long n0, long n1) override {
         long fll = fl2() - 1;
+#if R8BT_AVX512
+        /* coefficient-plane layout [rows][3][fl] (repacked once from
+         * the blob's [rows][fl][3]): the spline evaluate + tap dot is
+         * then 2 FMAs + 1 FMA per 8 taps over unit-stride loads */
+        if (planes.empty()) {
+            planes.assign((size_t)(rows * 3 * fl), 0.0);
+            for (long r = 0; r < rows; ++r)
+                for (long i = 0; i < fl; ++i)
+                    for (long c = 0; c < 3; ++c)
+                        planes[(size_t)((r * 3 + c) * fl + i)] =
+                            table[(size_t)((r * fl + i) * 3 + c)];
+        }
+        const int nv = (int)(fl >> 3);
+        const unsigned rem = (unsigned)(fl & 7);
+        const __mmask8 tm = rem ? (__mmask8)((1u << rem) - 1) : (__mmask8)0;
+        for (long n = n0; n < n1; ++n) {
+            double p = posOf(n);
+            long s = (long)std::floor(p);
+            double fr = (p - (double)s) * (double)fracs;
+            long fi = (long)std::floor(fr);
+            double t = fr - (double)fi;
+            const double *c0 = planes.data() + (size_t)(fi * 3 * fl);
+            const double *c1 = c0 + fl, *c2 = c1 + fl;
+            const double *w = hist.raw(s - fll, fl);
+            if (w) {
+                const __m512d tv = _mm512_set1_pd(t);
+                __m512d a = _mm512_setzero_pd();
+                for (int v = 0; v < nv; ++v) {
+                    const long o = (long)v * 8;
+                    __m512d coef = _mm512_fmadd_pd(
+                        _mm512_fmadd_pd(_mm512_loadu_pd(c2 + o), tv,
+                                        _mm512_loadu_pd(c1 + o)),
+                        tv, _mm512_loadu_pd(c0 + o));
+                    a = _mm512_fmadd_pd(coef, _mm512_loadu_pd(w + o), a);
+                }
+                if (tm) {
+                    const long o = (long)nv * 8;
+                    __m512d coef = _mm512_fmadd_pd(
+                        _mm512_fmadd_pd(_mm512_maskz_loadu_pd(tm, c2 + o),
+                                        tv,
+                                        _mm512_maskz_loadu_pd(tm, c1 + o)),
+                        tv, _mm512_maskz_loadu_pd(tm, c0 + o));
+                    a = _mm512_fmadd_pd(coef, _mm512_maskz_loadu_pd(tm, w + o),
+                                        a);
+                }
+                out[n - n0] = _mm512_reduce_add_pd(a);
+            } else {  /* stream-start boundary */
+                double acc = 0.0;
+                for (long i = 0; i < fl; ++i)
+                    acc += (c0[i] + (c1[i] + c2[i] * t) * t) *
+                           hist.at(s - fll + i);
+                out[n - n0] = acc;
+            }
+        }
+#else
         for (long n = n0; n < n1; ++n) {
             double p = posOf(n);
             long s = (long)std::floor(p);
@@ -1546,7 +1601,11 @@ class FracPolyStage : public Stage {
             }
             out[n - n0] = acc;
         }
+#endif
     }
+
+  private:
+    std::vector<double> planes; /* [rows][3][fl], built on first emit */
 };
 
 struct Engine {
