@@ -4,7 +4,15 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
+#include <sys/resource.h>
 #include <vector>
+
+/* user-CPU seconds: steal/scheduling-noise-resistant on shared VMs */
+static double cpuTime() {
+    rusage ru;
+    getrusage(RUSAGE_SELF, &ru);
+    return (double)ru.ru_utime.tv_sec + 1e-6 * (double)ru.ru_utime.tv_usec;
+}
 
 static uint64_t lcg(uint64_t &s) {
     s = s * 6364136223846793005ULL + 1442695040888963407ULL;
@@ -37,15 +45,20 @@ int main(int argc, char **argv) {
     }
     double sink = 0.0;
     auto t0 = std::chrono::steady_clock::now();
+    double c0 = cpuTime();
     for (long fed = 0; fed < n; fed += chunkLen) {
         double *out = nullptr;
         long m = r8bt_process(h, chunk.data(), chunkLen, &out);
         if (m > 0) sink += out[0] + out[m - 1];
     }
     auto t1 = std::chrono::steady_clock::now();
+    double c1 = cpuTime();
     double dt = std::chrono::duration<double>(t1 - t0).count();
-    std::printf("mrops %.2f (%ld samples in %.3fs; sink %.3g)\n",
-                1e-6 * (double)n / dt, n, dt, sink);
+    double dc = c1 - c0;
+    std::printf("mrops %.2f cpu-mrops %.2f (%ld samples in %.3fs wall / "
+                "%.3fs cpu; sink %.3g)\n",
+                1e-6 * (double)n / dt, 1e-6 * (double)n / dc, n, dt, dc,
+                sink);
     r8bt_delete(h);
     return 0;
 }
