@@ -760,7 +760,10 @@ class ConvStage : public Stage {
              * forward + one MAC + one inverse (~50*nfft flops with the
              * tail accumulation cached); the direct dot costs
              * 2*Kx*headCnt and is cache/latency-bound */
-            headDirect = headCnt * Kx < (long)nfft * 25;
+#ifndef R8BT_HEADK
+#define R8BT_HEADK 25
+#endif
+            headDirect = headCnt * Kx < (long)nfft * R8BT_HEADK;
             if (!headDirect) {
                 headB = wcEnd / (hop * up);
                 computeBlock(headB);
