@@ -81,6 +81,25 @@ def test_native_streaming_chunks(native):
     assert rms_db(y[:m] - ref[:m]) < -280.0
 
 
+def test_native_fftcheck(native):
+    """Direct unit check of the engine's Stockham FFT kernel: every
+    power-of-two size 8..8192 (all radix plans incl. the odd-parity
+    4*2 split and the tiny final-copy path) vs a naive f64 DFT, forward
+    + unscaled inverse + round trip (the reference's FFT-backend
+    interchangeability contract, r8bconf.h:149-206)."""
+    import subprocess
+    from pathlib import Path
+
+    nat = Path(__file__).resolve().parent.parent / "native"
+    r = subprocess.run(["make", "-C", str(nat), "fftcheck"],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    r = subprocess.run([str(nat / "fftcheck")], capture_output=True,
+                       text=True)
+    assert r.returncode == 0, r.stdout
+    assert "FFTCHECK PASS" in r.stdout
+
+
 def test_native_masstest_asan(native, tmp_path):
     """Randomized streaming under AddressSanitizer+UBSan — the reference's
     Dr.Memory masstest methodology (bench/masstest.cpp:3-9)."""
