@@ -95,13 +95,22 @@ def main():
     mrops = 1e-6 * channels * n_in / dt
     metric = os.environ.get("R8B_BENCH_METRIC")
     if not metric:
+        def rate_tag(r: float) -> str:
+            if abs(r - round(r)) < 1e-9:
+                return str(int(round(r)))
+            return f"{r:g}".replace(".", "p").replace("+", "").replace(
+                "-", "m")
         if (src, dst) == (44100.0, 96000.0):
             cfg = "44k_to_96k"  # driver-tracked headline name (round 1)
         else:
-            cfg = f"{src:g}_to_{dst:g}".replace(".", "p")
-        metric = f"resample_{cfg}_24bit_throughput"
+            cfg = f"{rate_tag(src)}_to_{rate_tag(dst)}"
+        # the bit-depth tag follows the preset attenuations
+        # (CDSPResampler.h:746,777,807,119); other attens are named as-is
+        tag = {136.45: "16bit", 109.56: "16bitIR", 180.15: "24bit",
+               206.91: "default"}.get(atten) or f"a{rate_tag(atten)}"
+        metric = f"resample_{cfg}_{tag}_throughput"
         if precision != "fast":
-            metric = f"resample_{cfg}_24bit_hp_throughput"
+            metric = f"resample_{cfg}_{tag}_hp_throughput"
     print(json.dumps({
         "metric": metric,
         "value": round(mrops, 1),

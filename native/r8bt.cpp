@@ -19,15 +19,13 @@
 /* Explicit SIMD kernels (gcc refuses to auto-vectorize the split re/im
  * butterfly loops: "no vectype" on the twiddle loads).  The scalar code
  * below every #if block is the reference semantics; the intrinsic paths
- * compute the same expressions 8 (AVX-512) or 4 (AVX2) lanes at a time.
+ * compute the same expressions 8 lanes at a time (AVX-512; hosts without
+ * it run the scalar expressions, auto-vectorized where gcc manages).
  * This is the role the reference's hand-SIMD fft4g/pffft backends and
  * R8B_SSE2/R8B_NEON interpolator bodies play (r8bbase.h:107-134). */
 #if defined(__AVX512F__)
 #include <immintrin.h>
 #define R8BT_AVX512 1
-#elif defined(__AVX2__) && defined(__FMA__)
-#include <immintrin.h>
-#define R8BT_AVX2 1
 #endif
 
 namespace {
@@ -1829,7 +1827,14 @@ Engine *parseBlob(const void *blob, size_t len) {
             s->down = rd.get<int64_t>();
             s->off = rd.get<int64_t>();
             s->K = rd.get<int64_t>();
-            if (s->up <= 0 || s->down <= 0 || !rd.validCount(s->K)) {
+            /* off >= 0 always holds for planner-produced blobs (the
+             * content offset is base + a non-negative mod-down term,
+             * models/plan.py _make_conv); a negative off would inflate
+             * availOut() to ~|off| outputs on the first process() call
+             * and abort the host on the resize. */
+            if (s->up <= 0 || s->down <= 0 || s->off < 0 ||
+                s->up > (1 << 20) || s->down > (1 << 20) || s->K <= 0 ||
+                !rd.validCount(s->K)) {
                 delete s;
                 rd.ok = false;
                 break;
@@ -1840,7 +1845,8 @@ Engine *parseBlob(const void *blob, size_t len) {
         } else if (kind == 1 || kind == 2) {
             long nt = rd.get<int64_t>();
             long lat = rd.get<int64_t>();
-            if (lat < 0 || !rd.validCount(nt)) {
+            if (lat < 0 || nt <= 0 || nt > (1 << 20) ||
+                !rd.validCount(nt)) {
                 rd.ok = false;
                 break;
             }
@@ -1868,6 +1874,8 @@ Engine *parseBlob(const void *blob, size_t len) {
             s->fl = rd.get<int64_t>();
             if (s->inStep <= 0 || s->outStep <= 0 || s->inLat < 0 ||
                 s->fl <= 0 || s->outStep > (1 << 20) || s->fl > (1 << 20) ||
+                s->inStep > (1LL << 32) || s->w0 < 0 ||
+                s->w0 > (1LL << 40) ||
                 !rd.validCount(s->outStep * s->fl)) {
                 delete s;
                 rd.ok = false;
@@ -1887,6 +1895,11 @@ Engine *parseBlob(const void *blob, size_t len) {
             s->rows = rd.get<int64_t>();
             if (s->inLat < 0 || s->fl <= 0 || s->fracs <= 0 ||
                 s->rows <= 0 || s->rows > (1 << 20) || s->fl > (1 << 20) ||
+                !std::isfinite(s->srcRate) || !std::isfinite(s->dstRate) ||
+                !std::isfinite(s->initFracPos) || s->srcRate <= 0.0 ||
+                s->dstRate <= 0.0 || s->initFracPos < 0.0 ||
+                s->initFracPos > 1e9 || s->srcRate / s->dstRate > 1e9 ||
+                s->dstRate / s->srcRate > 1e9 ||
                 !rd.validCount(s->rows * s->fl * 3)) {
                 delete s;
                 rd.ok = false;
@@ -1927,7 +1940,11 @@ void r8bt_clear(r8bt_handle h) { ((Engine *)h)->clear(); }
 long r8bt_process(r8bt_handle h, const double *in, long in_len,
                   double **out) {
     if (!h || in_len < 0) return -1;
-    return ((Engine *)h)->process(in, in_len, out);
+    try {
+        return ((Engine *)h)->process(in, in_len, out);
+    } catch (...) {  // never let bad_alloc escape the extern "C" boundary
+        return -1;
+    }
 }
 
 long r8bt_in_required_for_out(r8bt_handle h, long out_count) {

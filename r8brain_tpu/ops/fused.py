@@ -253,7 +253,8 @@ class FusedUpExec:
         y = None
         if self.engine == "pallas":
             from .pallas_frac import choose_tiles, frac_whole_pallas
-            Q, CT = choose_tiles(p_in, self.D, p_out, C_)
+            Q, CT = choose_tiles(p_in, self.D, p_out, C_,
+                                 has_lo=self.precision == "high")
             if CT:
                 n_blocks = -(-n_cyc // Q)
                 span_need = (n_blocks * Q - 1) * p_in + self.D

@@ -31,7 +31,8 @@ __all__ = ["HAVE_PALLAS", "frac_whole_pallas", "choose_tiles"]
 
 
 def choose_tiles(I: int, D: int, O: int, C: int,
-                 vmem_budget: int = 8 * 1024 * 1024):
+                 vmem_budget: int = 8 * 1024 * 1024,
+                 has_lo: bool = False):
     """(Q, CT) for frac_whole_pallas, or (0, 0) when infeasible.
 
     Q (windows per grid cell) is the smallest multiple of
@@ -40,17 +41,20 @@ def choose_tiles(I: int, D: int, O: int, C: int,
     128-aligned strides); CT is the largest channel tile fitting the
     input span + output tile + bank in the VMEM budget.  The budget
     accounts for Mosaic's block double-buffering (2x on the output block
-    and window scratch) against the 16 MB scoped-vmem limit.
+    and window scratch) against the 16 MB scoped-vmem limit.  has_lo
+    budgets the second [D, O] kernel-residual bank that precision="high"
+    passes into the kernel (skT_lo).
     """
     import math
     q0 = 128 // math.gcd(I, 128)
     Q = q0 * max(1, -(-8 // q0))  # at least ~8 windows per DMA
     span = (Q - 1) * I + D
     S = -(-(span + 127) // 128) * 128
+    banks = 2 if has_lo else 1
     for CT in (128, 64, 32, 16, 8):
         if C % CT:
             continue
-        vmem = 4 * (2 * CT * S + 2 * CT * Q * O + D * O)
+        vmem = 4 * (2 * CT * S + 2 * CT * Q * O + banks * D * O)
         if vmem <= vmem_budget:
             return Q, CT
     return 0, 0

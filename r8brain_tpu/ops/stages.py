@@ -401,7 +401,8 @@ class ConvExec:
         C, N = x.shape
         up, down = spec.up, spec.down
         B, L_f = self.B_pallas, self.Lf_pallas
-        Q, CT = choose_tiles(B * down, L_f, B * up, C)
+        Q, CT = choose_tiles(B * down, L_f, B * up, C,
+                             has_lo=self.precision == "high")
         if CT == 0:
             from ..utils.trace import trace
             trace("conv_pallas_fallback", reason="channel-tile/stride "
@@ -797,7 +798,8 @@ class FracWholeExec:
             from .pallas_frac import choose_tiles, frac_whole_pallas
             # adaptive Q makes ANY stride lane-aligned (Q*I % 128 == 0);
             # CT=0 only when channels don't tile or VMEM would overflow
-            Q, CT = choose_tiles(I, self.D, O, C)
+            Q, CT = choose_tiles(I, self.D, O, C,
+                                 has_lo=self.precision == "high")
             if CT:
                 n_blocks = -(-n_cyc // Q)
                 span_need = (n_blocks * Q - 1) * I + self.D

@@ -177,7 +177,6 @@ class ShardedStreamResampler:
 
     def reset(self):
         self._carry = None
-        self._held = None      # device 0's withheld lat_o outputs (call 0)
         self.n_in = 0
         self.n_out = 0
         self._channels = None

@@ -273,11 +273,26 @@ class TestNativeBlobValidation:
         off = 4 + 4 + 24
         bad[off : off + 4] = (0xFFFFFFF0).to_bytes(4, "little")
         assert not lib.r8bt_create_from_blob(bytes(bad), len(bad))
-        # flip bytes throughout; none may crash the process
+        # a negative ConvStage content offset would inflate availOut() to
+        # ~|off| outputs on the first process() call; the parse must
+        # reject it (field layout: magic 4 + ver 4 + 3 doubles + ns 4 +
+        # kind 4 + up 8 + down 8 = 36+8+16 -> off at byte 60)
+        bad = bytearray(blob)
+        bad[60:68] = (-(10**18)).to_bytes(8, "little", signed=True)
+        assert not lib.r8bt_create_from_blob(bytes(bad), len(bad))
+        # flip bytes throughout; when the parse still accepts the blob,
+        # processing a chunk must not abort either (returns any count or
+        # the -1 error code, never std::terminate)
+        x = np.zeros(256, dtype=np.float64)
+        xp = x.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
         for off in range(8, min(len(blob), 4096), 37):
             bad = bytearray(blob)
             bad[off] ^= 0xFF
-            lib.r8bt_create_from_blob(bytes(bad), len(bad))
+            h = lib.r8bt_create_from_blob(bytes(bad), len(bad))
+            if h:
+                op = ctypes.POINTER(ctypes.c_double)()
+                lib.r8bt_process(h, xp, 256, ctypes.byref(op))
+                lib.r8bt_delete(h)
 
 
 class TestResidualTruncation:
