@@ -58,6 +58,7 @@ import jax.numpy as jnp
 
 from ..models.lengths import chain_out_len, frac_positions, stage_out_len
 from ..models.plan import ConvStage, FracStage
+from .stages import banded_contract, chunk_drift_groups
 
 __all__ = ["FusedPolyExec"]
 
@@ -209,31 +210,11 @@ class FusedPolyExec:
         sg = q_lo.reshape(n_grp, G)
         wg = w_np.reshape(n_grp, G)
 
-        chunks = []  # (g0, nloc, A, e[nloc, G])
-        need_len = 0
-        g0 = 0
-        while g0 < n_grp:
-            nloc = min(self.ngrp_max, n_grp - g0)
-            while True:
-                m = np.arange(nloc)
-                base0 = sg[g0 : g0 + nloc].min(axis=1) - m * S
-                A = int(base0.min())
-                e = wg[g0 : g0 + nloc] - up * (A + m * S)[:, None]
-                assert e.min() >= 0
-                if e.max() + fl <= E or nloc == 1:
-                    break
-                nloc //= 2  # drift exceeded the operator budget: split
-            assert e.max() + fl <= E, "composite drift budget exceeded"
-            chunks.append((g0, nloc, A, e.astype(np.int32)))
-            need_len = max(need_len, A + (nloc - 1) * S + W)
-            g0 += nloc
-
-        pad_l = 0
-        min_a = min(a for _, _, a, _ in chunks)
-        if min_a < 0:  # leading windows dip below x[0] (zeros)
-            pad_l = -min_a
-            need_len += pad_l
-            chunks = [(g_, n_, a_ + pad_l, e_) for g_, n_, a_, e_ in chunks]
+        # band indices e live on the zero-stuffed (up-scaled) grid; a
+        # leading chunk base can dip below x[0] (zeros), handled by the
+        # shift the helper returns
+        chunks, need_len, pad_l = chunk_drift_groups(
+            sg, wg, up, S, fl, E, self.ngrp_max, W)
 
         pad_r = max(0, need_len - (N + pad_l))
         xp = jnp.pad(x.astype(self.dtype), ((0, 0), (pad_l, pad_r)))
@@ -253,23 +234,6 @@ class FusedPolyExec:
                 R = term if R is None else R + term
             return jnp.swapaxes(R, 1, 2)  # [nloc, W, G]
 
-        def contract(xc, R, nloc, prec):
-            n_seg = -(-W // S)
-            total = (nloc + n_seg) * S
-            if xc.shape[1] < total:
-                xc = jnp.pad(xc, ((0, 0), (0, total - xc.shape[1])))
-            else:
-                xc = xc[:, :total]
-            ch3 = xc.reshape(C, nloc + n_seg, S)
-            o = None
-            for e_s in range(n_seg):
-                w_e = min(S, W - e_s * S)
-                seg = ch3[:, e_s : nloc + e_s, :w_e]
-                Re = R[:, e_s * S : e_s * S + w_e, :]
-                oe = jnp.einsum("cml,mlg->cmg", seg, Re, precision=prec)
-                o = oe if o is None else o + oe
-            return o
-
         outs = []
         for g0, nloc, A, e_h in chunks:
             # the position arrays are trace-time constants; without a
@@ -285,11 +249,12 @@ class FusedPolyExec:
             flt = c0t[fti_c] + (c1t[fti_c] + c2t[fti_c] * t_c) * t_c
             xc = xp[:, A:]
             R = build_R(K2D, flt, e_d)
-            o = contract(xc, R, nloc, jax.lax.Precision.HIGHEST)
+            o = banded_contract(xc, R, nloc, S, W,
+                                jax.lax.Precision.HIGHEST)
             if K2D_lo is not None:
                 R_lo = build_R(K2D_lo, flt, e_d)
-                o = o + contract(xc, R_lo, nloc,
-                                 jax.lax.Precision.DEFAULT)
+                o = o + banded_contract(xc, R_lo, nloc, S, W,
+                                        jax.lax.Precision.DEFAULT)
             outs.append(o.reshape(C, nloc * G))
         y = jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
         if self.corr_js is not None:

@@ -844,6 +844,80 @@ class FracWholeExec:
         return y[:, :M]
 
 
+def chunk_drift_groups(sg: np.ndarray, vals: np.ndarray, scale: int,
+                       S: int, fl: int, budget: int, ngrp_max: int,
+                       W: int):
+    """Chunk [n_grp, G] output groups for banded-matmul evaluation
+    (shared by FracPolyExec._apply_banded and poly_fused.FusedPolyExec).
+
+    Frames are read at uniform stride ``S``; a chunk of ``nloc`` groups
+    starting at ``g0`` is anchored at ``A = min over rows m of
+    (sg[g0+m].min() - m*S)`` and its group-local window offsets are
+    ``off = vals[g0:g0+nloc] - scale*(A + m*S)`` (``scale`` maps the
+    frame grid to the grid ``vals`` lives on: 1 for the plain banded
+    interpolator, ``up`` for the composite whose band indices live on
+    the zero-stuffed grid).  A chunk is accepted when
+    ``off.max() + fl <= budget`` and halved otherwise; a single group
+    must always fit (asserted).
+
+    Returns ``(chunks, need_len, shift)``: ``chunks`` is a list of
+    ``(g0, nloc, A, off[int32])`` with every ``A >= 0`` after shifting
+    the frame origin right by ``shift`` samples (a chunk base can dip
+    below 0 when negative drift pulls it under the earliest window
+    start, and a negative ``A`` would silently slice from the array
+    END); ``need_len`` is the frame samples required from the shifted
+    origin.
+    """
+    n_grp = sg.shape[0]
+    chunks = []  # (g0, nloc, A, off[nloc, G])
+    need_len = 0
+    g0 = 0
+    while g0 < n_grp:
+        nloc = min(ngrp_max, n_grp - g0)
+        while True:
+            m = np.arange(nloc)
+            base0 = sg[g0 : g0 + nloc].min(axis=1) - m * S
+            A = int(base0.min())
+            off = vals[g0 : g0 + nloc] - scale * (A + m * S)[:, None]
+            assert off.min() >= 0
+            if off.max() + fl <= budget or nloc == 1:
+                break
+            nloc //= 2  # drift exceeded the operator budget: split
+        assert off.max() + fl <= budget, "drift budget exceeded"
+        chunks.append((g0, nloc, A, off.astype(np.int32)))
+        need_len = max(need_len, A + (nloc - 1) * S + W)
+        g0 += nloc
+    shift = max(0, -min(a for _, _, a, _ in chunks))
+    if shift:
+        need_len += shift
+        chunks = [(g_, n_, a_ + shift, o_) for g_, n_, a_, o_ in chunks]
+    return chunks, need_len, shift
+
+
+def banded_contract(xc: jnp.ndarray, R: jnp.ndarray, nloc: int, S: int,
+                    W: int, precision) -> jnp.ndarray:
+    """sum_w frames[c, m, w] * R[m, w, g] with the [C, nloc, W] frames at
+    uniform stride S read as reshape VIEWS of ``xc`` (no gather): frame m
+    covers xc[:, m*S : m*S + W], evaluated in ceil(W/S) shifted segments
+    of the same [C, nloc + n_seg, S] reshape.  Returns [C, nloc, G]."""
+    C = xc.shape[0]
+    n_seg = -(-W // S)
+    total = (nloc + n_seg) * S
+    if xc.shape[1] < total:
+        xc = jnp.pad(xc, ((0, 0), (0, total - xc.shape[1])))
+    else:
+        xc = xc[:, :total]
+    ch3 = xc.reshape(C, nloc + n_seg, S)
+    o = None
+    for e in range(n_seg):
+        w_e = min(S, W - e * S)
+        seg = ch3[:, e : nloc + e, :w_e]
+        Re = R[:, e * S : e * S + w_e, :]
+        oe = jnp.einsum("cml,mlg->cmg", seg, Re, precision=precision)
+        o = oe if o is None else o + oe
+    return o
+
+
 class FracPolyExec:
     """Polynomial-mode fractional interpolator.
 
@@ -962,38 +1036,9 @@ class FracPolyExec:
         pad_l = max(0, -int(start_np.min()))
         sg = (start_np + pad_l).reshape(n_grp, G)  # window starts per group
 
-        # chunk groups so group-local offsets stay bounded by the drift
-        chunks = []  # (g0, nloc, A, off[nloc, G])
-        need_len = 0
-        g0 = 0
-        while g0 < n_grp:
-            nloc = min(self.ngrp_max, n_grp - g0)
-            m = np.arange(nloc)
-            base0 = sg[g0 : g0 + nloc, 0] - m * S
-            A = int(base0.min())
-            off = sg[g0 : g0 + nloc] - (A + m * S)[:, None]
-            assert off.min() >= 0
-            while off.max() + fl > W:  # drift exceeded budget: split
-                nloc //= 2
-                m = np.arange(nloc)
-                base0 = sg[g0 : g0 + nloc, 0] - m * S
-                A = int(base0.min())
-                off = sg[g0 : g0 + nloc] - (A + m * S)[:, None]
-            chunks.append((g0, nloc, A, off.astype(np.int32)))
-            need_len = max(need_len, A + (nloc - 1) * S + W)
-            g0 += nloc
-
-        # a chunk base can dip below 0 (negative drift pulls base0 under
-        # the earliest window start); shift the padding so every frame
-        # slice is in-bounds — a negative A would silently slice from the
-        # array END
-        min_a = min(a for _, _, a, _ in chunks)
-        if min_a < 0:
-            shift = -min_a
-            pad_l += shift
-            need_len += shift
-            chunks = [(g0_, nloc_, a_ + shift, off_)
-                      for g0_, nloc_, a_, off_ in chunks]
+        chunks, need_len, shift = chunk_drift_groups(
+            sg, sg, 1, S, fl, W, self.ngrp_max, W)
+        pad_l += shift
 
         pad_r = max(0, need_len - (N + pad_l))
         xp = jnp.pad(x.astype(self.dtype), ((0, 0), (pad_l, pad_r)))
@@ -1015,23 +1060,8 @@ class FracPolyExec:
                 R = R + flt[..., i : i + 1] * (
                     iota_w[None, None, :] == (off_d + i)[..., None])
             R = jnp.swapaxes(R, 1, 2)  # [nloc, W, G]
-            # frames at UNIFORM stride S from reshape views (no gather)
-            xc = xp[:, A:]
-            n_seg = -(-W // S)
-            total = (nloc + n_seg) * S
-            if xc.shape[1] < total:
-                xc = jnp.pad(xc, ((0, 0), (0, total - xc.shape[1])))
-            else:
-                xc = xc[:, :total]
-            ch3 = xc.reshape(C, nloc + n_seg, S)
-            o = None
-            for e in range(n_seg):
-                w_e = min(S, W - e * S)
-                seg = ch3[:, e : nloc + e, :w_e]
-                Re = R[:, e * S : e * S + w_e, :]
-                oe = jnp.einsum("cml,mlg->cmg", seg, Re,
-                                precision=jax.lax.Precision.HIGHEST)
-                o = oe if o is None else o + oe
+            o = banded_contract(xp[:, A:], R, nloc, S, W,
+                                jax.lax.Precision.HIGHEST)
             outs.append(o.reshape(C, nloc * G))
         y = jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
         return y[:, :M]
