@@ -19,16 +19,76 @@
 /* Explicit SIMD kernels (gcc refuses to auto-vectorize the split re/im
  * butterfly loops: "no vectype" on the twiddle loads).  The scalar code
  * below every #if block is the reference semantics; the intrinsic paths
- * compute the same expressions 8 lanes at a time (AVX-512; hosts without
- * it run the scalar expressions, auto-vectorized where gcc manages).
- * This is the role the reference's hand-SIMD fft4g/pffft backends and
- * R8B_SSE2/R8B_NEON interpolator bodies play (r8bbase.h:107-134). */
+ * compute the same expressions 8 (AVX-512) or 4 (AVX2+FMA) lanes at a
+ * time.  This is the role the reference's hand-SIMD fft4g/pffft backends
+ * and R8B_SSE2/R8B_NEON interpolator bodies play (r8bbase.h:107-134). */
 #if defined(__AVX512F__)
 #include <immintrin.h>
 #define R8BT_AVX512 1
+#elif defined(__AVX2__) && defined(__FMA__)
+#include <immintrin.h>
+#define R8BT_AVX2 1
 #endif
 
 namespace {
+
+#if R8BT_AVX2
+/* 4-lane f64 helpers (the AVX-512 blocks use masked loads / cross-lane
+ * permutes / reduce intrinsics with no direct 256-bit forms) */
+static const int64_t r8bt_masktbl[4][4] = {
+    {0, 0, 0, 0}, {-1, 0, 0, 0}, {-1, -1, 0, 0}, {-1, -1, -1, 0}};
+static inline __m256i r8bt_tailmask4(unsigned rem) {
+    return _mm256_loadu_si256((const __m256i *)r8bt_masktbl[rem]);
+}
+static inline double r8bt_hadd4(__m256d a) {
+    __m128d lo = _mm256_castpd256_pd128(a);
+    __m128d hi = _mm256_extractf128_pd(a, 1);
+    lo = _mm_add_pd(lo, hi);
+    return _mm_cvtsd_f64(_mm_add_sd(lo, _mm_unpackhi_pd(lo, lo)));
+}
+/* [sum a0, sum a1, sum a2, sum a3] */
+static inline __m256d r8bt_hsum4x4(__m256d a0, __m256d a1, __m256d a2,
+                                   __m256d a3) {
+    __m256d t01 = _mm256_add_pd(_mm256_unpacklo_pd(a0, a1),
+                                _mm256_unpackhi_pd(a0, a1));
+    __m256d t23 = _mm256_add_pd(_mm256_unpacklo_pd(a2, a3),
+                                _mm256_unpackhi_pd(a2, a3));
+    return _mm256_add_pd(_mm256_permute2f128_pd(t01, t23, 0x20),
+                         _mm256_permute2f128_pd(t01, t23, 0x31));
+}
+/* in-place 4x4 f64 transpose of rows r[0..3] */
+static inline void r8bt_tr4(__m256d r[4]) {
+    __m256d t0 = _mm256_unpacklo_pd(r[0], r[1]);
+    __m256d t1 = _mm256_unpackhi_pd(r[0], r[1]);
+    __m256d t2 = _mm256_unpacklo_pd(r[2], r[3]);
+    __m256d t3 = _mm256_unpackhi_pd(r[2], r[3]);
+    r[0] = _mm256_permute2f128_pd(t0, t2, 0x20);
+    r[1] = _mm256_permute2f128_pd(t1, t3, 0x20);
+    r[2] = _mm256_permute2f128_pd(t0, t2, 0x31);
+    r[3] = _mm256_permute2f128_pd(t1, t3, 0x31);
+}
+/* even/odd lanes of the 8 doubles [a | b] */
+static inline __m256d r8bt_even(__m256d a, __m256d b) {
+    return _mm256_unpacklo_pd(_mm256_permute2f128_pd(a, b, 0x20),
+                              _mm256_permute2f128_pd(a, b, 0x31));
+}
+static inline __m256d r8bt_odd(__m256d a, __m256d b) {
+    return _mm256_unpackhi_pd(_mm256_permute2f128_pd(a, b, 0x20),
+                              _mm256_permute2f128_pd(a, b, 0x31));
+}
+/* interleave [e0 o0 e1 o1] / [e2 o2 e3 o3] */
+static inline __m256d r8bt_ilo(__m256d ev, __m256d od) {
+    return _mm256_permute2f128_pd(_mm256_unpacklo_pd(ev, od),
+                                  _mm256_unpackhi_pd(ev, od), 0x20);
+}
+static inline __m256d r8bt_ihi(__m256d ev, __m256d od) {
+    return _mm256_permute2f128_pd(_mm256_unpacklo_pd(ev, od),
+                                  _mm256_unpackhi_pd(ev, od), 0x31);
+}
+static inline __m256d r8bt_rev4(__m256d v) {
+    return _mm256_permute4x64_pd(v, 0x1B);
+}
+#endif
 
 struct Reader {
     const uint8_t *p;
@@ -310,6 +370,73 @@ class CFFT {
         vr[7] = _mm512_sub_pd(t1r, t3r);
         vi[7] = _mm512_sub_pd(t1i, t3i);
     }
+#elif R8BT_AVX2
+    /* radix-8 butterfly on 8 complex 4-lane vectors (in place), forward
+     * twiddle-free part: v[r] -> B[r] in OUTPUT index order j */
+    static inline void bfly8(__m256d vr[8], __m256d vi[8], __m256d sgv,
+                             __m256d nsgv) {
+        const __m256d Cv = _mm256_set1_pd(0.70710678118654752440);
+        __m256d cr[4], ci[4], dr[4], di[4];
+        for (int r = 0; r < 4; ++r) {
+            cr[r] = _mm256_add_pd(vr[r], vr[r + 4]);
+            ci[r] = _mm256_add_pd(vi[r], vi[r + 4]);
+            dr[r] = _mm256_sub_pd(vr[r], vr[r + 4]);
+            di[r] = _mm256_sub_pd(vi[r], vi[r + 4]);
+        }
+        /* d1 *= C*(1-sg i); d2 *= -sg i; d3 *= C*(-1-sg i) */
+        {
+            __m256d x = dr[1], y = di[1];
+            dr[1] = _mm256_mul_pd(Cv, _mm256_fmadd_pd(sgv, y, x));
+            di[1] = _mm256_mul_pd(Cv, _mm256_fnmadd_pd(sgv, x, y));
+            x = dr[2];
+            y = di[2];
+            dr[2] = _mm256_mul_pd(sgv, y);
+            di[2] = _mm256_mul_pd(nsgv, x);
+            x = dr[3];
+            y = di[3];
+            dr[3] = _mm256_mul_pd(Cv, _mm256_fmsub_pd(sgv, y, x));
+            di[3] = _mm256_mul_pd(
+                Cv, _mm256_fnmadd_pd(sgv, x,
+                                     _mm256_sub_pd(_mm256_setzero_pd(), y)));
+        }
+        /* radix-4 of c -> B0,B2,B4,B6 ; radix-4 of d -> B1,B3,B5,B7 */
+        __m256d t0r = _mm256_add_pd(cr[0], cr[2]);
+        __m256d t0i = _mm256_add_pd(ci[0], ci[2]);
+        __m256d t1r = _mm256_sub_pd(cr[0], cr[2]);
+        __m256d t1i = _mm256_sub_pd(ci[0], ci[2]);
+        __m256d t2r = _mm256_add_pd(cr[1], cr[3]);
+        __m256d t2i = _mm256_add_pd(ci[1], ci[3]);
+        __m256d sdr = _mm256_sub_pd(cr[1], cr[3]);
+        __m256d sdi = _mm256_sub_pd(ci[1], ci[3]);
+        __m256d t3r = _mm256_mul_pd(sgv, sdi);
+        __m256d t3i = _mm256_mul_pd(nsgv, sdr);
+        vr[0] = _mm256_add_pd(t0r, t2r);
+        vi[0] = _mm256_add_pd(t0i, t2i);
+        vr[2] = _mm256_add_pd(t1r, t3r);
+        vi[2] = _mm256_add_pd(t1i, t3i);
+        vr[4] = _mm256_sub_pd(t0r, t2r);
+        vi[4] = _mm256_sub_pd(t0i, t2i);
+        vr[6] = _mm256_sub_pd(t1r, t3r);
+        vi[6] = _mm256_sub_pd(t1i, t3i);
+        t0r = _mm256_add_pd(dr[0], dr[2]);
+        t0i = _mm256_add_pd(di[0], di[2]);
+        t1r = _mm256_sub_pd(dr[0], dr[2]);
+        t1i = _mm256_sub_pd(di[0], di[2]);
+        t2r = _mm256_add_pd(dr[1], dr[3]);
+        t2i = _mm256_add_pd(di[1], di[3]);
+        sdr = _mm256_sub_pd(dr[1], dr[3]);
+        sdi = _mm256_sub_pd(di[1], di[3]);
+        t3r = _mm256_mul_pd(sgv, sdi);
+        t3i = _mm256_mul_pd(nsgv, sdr);
+        vr[1] = _mm256_add_pd(t0r, t2r);
+        vi[1] = _mm256_add_pd(t0i, t2i);
+        vr[3] = _mm256_add_pd(t1r, t3r);
+        vi[3] = _mm256_add_pd(t1i, t3i);
+        vr[5] = _mm256_sub_pd(t0r, t2r);
+        vi[5] = _mm256_sub_pd(t0i, t2i);
+        vr[7] = _mm256_sub_pd(t1r, t3r);
+        vi[7] = _mm256_sub_pd(t1i, t3i);
+    }
 #endif
 
     static void stage2(const Stage &st, const double *xr, const double *xi,
@@ -346,6 +473,27 @@ class CFFT {
                     _mm512_storeu_pd(
                         y1i + q,
                         _mm512_fmadd_pd(dr, wiv, _mm512_mul_pd(di, wrv)));
+                }
+            }
+#elif R8BT_AVX2
+            {
+                const __m256d wrv = _mm256_set1_pd(wr_);
+                const __m256d wiv = _mm256_set1_pd(wi_);
+                for (; q + 4 <= s; q += 4) {
+                    __m256d ar_ = _mm256_loadu_pd(arp + q);
+                    __m256d ai_ = _mm256_loadu_pd(aip + q);
+                    __m256d br_ = _mm256_loadu_pd(brp + q);
+                    __m256d bi_ = _mm256_loadu_pd(bip + q);
+                    _mm256_storeu_pd(y0r + q, _mm256_add_pd(ar_, br_));
+                    _mm256_storeu_pd(y0i + q, _mm256_add_pd(ai_, bi_));
+                    __m256d dr = _mm256_sub_pd(ar_, br_);
+                    __m256d di = _mm256_sub_pd(ai_, bi_);
+                    _mm256_storeu_pd(
+                        y1r + q,
+                        _mm256_fmsub_pd(dr, wrv, _mm256_mul_pd(di, wiv)));
+                    _mm256_storeu_pd(
+                        y1i + q,
+                        _mm256_fmadd_pd(dr, wiv, _mm256_mul_pd(di, wrv)));
                 }
             }
 #endif
@@ -440,6 +588,63 @@ class CFFT {
                     _mm512_storeu_pd(
                         o3i + q,
                         _mm512_fmadd_pd(u3r, w3iv, _mm512_mul_pd(u3i, w3rv)));
+                }
+            }
+#elif R8BT_AVX2
+            {
+                const __m256d sgv = _mm256_set1_pd(sg);
+                const __m256d nsgv = _mm256_set1_pd(-sg);
+                const __m256d w1rv = _mm256_set1_pd(w1r);
+                const __m256d w1iv = _mm256_set1_pd(w1i);
+                const __m256d w2rv = _mm256_set1_pd(w2r);
+                const __m256d w2iv = _mm256_set1_pd(w2i);
+                const __m256d w3rv = _mm256_set1_pd(w3r);
+                const __m256d w3iv = _mm256_set1_pd(w3i);
+                for (; q + 4 <= s; q += 4) {
+                    __m256d ar = _mm256_loadu_pd(a_r + q);
+                    __m256d ai = _mm256_loadu_pd(a_i + q);
+                    __m256d br = _mm256_loadu_pd(b_r + q);
+                    __m256d bi = _mm256_loadu_pd(b_i + q);
+                    __m256d cr = _mm256_loadu_pd(c_r + q);
+                    __m256d ci = _mm256_loadu_pd(c_i + q);
+                    __m256d dr = _mm256_loadu_pd(d_r + q);
+                    __m256d di = _mm256_loadu_pd(d_i + q);
+                    __m256d t0r = _mm256_add_pd(ar, cr);
+                    __m256d t0i = _mm256_add_pd(ai, ci);
+                    __m256d t1r = _mm256_sub_pd(ar, cr);
+                    __m256d t1i = _mm256_sub_pd(ai, ci);
+                    __m256d t2r = _mm256_add_pd(br, dr);
+                    __m256d t2i = _mm256_add_pd(bi, di);
+                    __m256d sdr = _mm256_sub_pd(br, dr);
+                    __m256d sdi = _mm256_sub_pd(bi, di);
+                    __m256d t3r = _mm256_mul_pd(sgv, sdi);
+                    __m256d t3i = _mm256_mul_pd(nsgv, sdr);
+                    _mm256_storeu_pd(o0r + q, _mm256_add_pd(t0r, t2r));
+                    _mm256_storeu_pd(o0i + q, _mm256_add_pd(t0i, t2i));
+                    __m256d u1r = _mm256_add_pd(t1r, t3r);
+                    __m256d u1i = _mm256_add_pd(t1i, t3i);
+                    _mm256_storeu_pd(
+                        o1r + q,
+                        _mm256_fmsub_pd(u1r, w1rv, _mm256_mul_pd(u1i, w1iv)));
+                    _mm256_storeu_pd(
+                        o1i + q,
+                        _mm256_fmadd_pd(u1r, w1iv, _mm256_mul_pd(u1i, w1rv)));
+                    __m256d u2r = _mm256_sub_pd(t0r, t2r);
+                    __m256d u2i = _mm256_sub_pd(t0i, t2i);
+                    _mm256_storeu_pd(
+                        o2r + q,
+                        _mm256_fmsub_pd(u2r, w2rv, _mm256_mul_pd(u2i, w2iv)));
+                    _mm256_storeu_pd(
+                        o2i + q,
+                        _mm256_fmadd_pd(u2r, w2iv, _mm256_mul_pd(u2i, w2rv)));
+                    __m256d u3r = _mm256_sub_pd(t1r, t3r);
+                    __m256d u3i = _mm256_sub_pd(t1i, t3i);
+                    _mm256_storeu_pd(
+                        o3r + q,
+                        _mm256_fmsub_pd(u3r, w3rv, _mm256_mul_pd(u3i, w3iv)));
+                    _mm256_storeu_pd(
+                        o3i + q,
+                        _mm256_fmadd_pd(u3r, w3iv, _mm256_mul_pd(u3i, w3rv)));
                 }
             }
 #endif
@@ -542,8 +747,87 @@ class CFFT {
             }
             p0 = m; /* fully handled */
         }
+#elif R8BT_AVX2
+        const __m256d sgv = _mm256_set1_pd(sg);
+        const __m256d nsgv = _mm256_set1_pd(-sg);
+        if (s == 1) {
+            /* first stage: vectorize over p, outputs y[8p+j] via two
+             * 4x4 transposes of the (j, p) result block */
+            for (; p0 + 4 <= m; p0 += 4) {
+                __m256d vr[8], vi[8];
+                for (int r = 0; r < 8; ++r) {
+                    vr[r] = _mm256_loadu_pd(xr + p0 + (size_t)r * m);
+                    vi[r] = _mm256_loadu_pd(xi + p0 + (size_t)r * m);
+                }
+                bfly8(vr, vi, sgv, nsgv);
+                for (int j = 1; j < 8; ++j) {
+                    __m256d wjr =
+                        _mm256_loadu_pd(st.twr[(size_t)(j - 1)].data() + p0);
+                    __m256d wji = _mm256_mul_pd(
+                        sgv,
+                        _mm256_loadu_pd(st.twi[(size_t)(j - 1)].data() + p0));
+                    __m256d rr = _mm256_fmsub_pd(vr[j], wjr,
+                                                 _mm256_mul_pd(vi[j], wji));
+                    __m256d ii = _mm256_fmadd_pd(vr[j], wji,
+                                                 _mm256_mul_pd(vi[j], wjr));
+                    vr[j] = rr;
+                    vi[j] = ii;
+                }
+                r8bt_tr4(vr);      /* j = 0..3 block */
+                r8bt_tr4(vr + 4);  /* j = 4..7 block */
+                r8bt_tr4(vi);
+                r8bt_tr4(vi + 4);
+                for (int i = 0; i < 4; ++i) {
+                    _mm256_storeu_pd(yr + 8 * (size_t)(p0 + i), vr[i]);
+                    _mm256_storeu_pd(yr + 8 * (size_t)(p0 + i) + 4,
+                                     vr[i + 4]);
+                    _mm256_storeu_pd(yi + 8 * (size_t)(p0 + i), vi[i]);
+                    _mm256_storeu_pd(yi + 8 * (size_t)(p0 + i) + 4,
+                                     vi[i + 4]);
+                }
+            }
+        } else if (s >= 4) {
+            for (int p = 0; p < m; ++p) {
+                __m256d wv[7][2];
+                for (int j = 1; j < 8; ++j) {
+                    wv[j - 1][0] =
+                        _mm256_set1_pd(st.twr[(size_t)(j - 1)][(size_t)p]);
+                    wv[j - 1][1] = _mm256_set1_pd(
+                        sg * st.twi[(size_t)(j - 1)][(size_t)p]);
+                }
+                const double *base_r = xr + (size_t)s * p;
+                const double *base_i = xi + (size_t)s * p;
+                double *out_r = yr + (size_t)s * 8 * p;
+                double *out_i = yi + (size_t)s * 8 * p;
+                for (int q = 0; q + 4 <= s; q += 4) {
+                    __m256d vr[8], vi[8];
+                    for (int r = 0; r < 8; ++r) {
+                        vr[r] = _mm256_loadu_pd(base_r + q +
+                                                (size_t)s * r * m);
+                        vi[r] = _mm256_loadu_pd(base_i + q +
+                                                (size_t)s * r * m);
+                    }
+                    bfly8(vr, vi, sgv, nsgv);
+                    _mm256_storeu_pd(out_r + q, vr[0]);
+                    _mm256_storeu_pd(out_i + q, vi[0]);
+                    for (int j = 1; j < 8; ++j) {
+                        _mm256_storeu_pd(
+                            out_r + q + (size_t)s * j,
+                            _mm256_fmsub_pd(vr[j], wv[j - 1][0],
+                                            _mm256_mul_pd(vi[j],
+                                                          wv[j - 1][1])));
+                        _mm256_storeu_pd(
+                            out_i + q + (size_t)s * j,
+                            _mm256_fmadd_pd(vr[j], wv[j - 1][1],
+                                            _mm256_mul_pd(vi[j],
+                                                          wv[j - 1][0])));
+                    }
+                }
+            }
+            p0 = m; /* fully handled (s is a power of 2 >= 4) */
+        }
 #endif
-        /* scalar path: remainder p's (s==1) or non-AVX512 builds */
+        /* scalar path: remainder p's (s==1) or non-SIMD builds */
         for (int p = p0; p < m; ++p) {
             for (int q = 0; q < s; ++q) {
                 double vr[8], vi[8];
@@ -938,6 +1222,32 @@ class ConvStage : public Stage {
                 _mm512_storeu_pd(zi + i, si);
             }
         }
+#elif R8BT_AVX2
+        if (first) {
+            for (; i + 4 <= nf; i += 4) {
+                __m256d a = _mm256_loadu_pd(xr + i);
+                __m256d b = _mm256_loadu_pd(xi + i);
+                __m256d c = _mm256_loadu_pd(cr + i);
+                __m256d d = _mm256_loadu_pd(ci + i);
+                _mm256_storeu_pd(zr + i,
+                                 _mm256_fmsub_pd(a, c, _mm256_mul_pd(b, d)));
+                _mm256_storeu_pd(zi + i,
+                                 _mm256_fmadd_pd(a, d, _mm256_mul_pd(b, c)));
+            }
+        } else {
+            for (; i + 4 <= nf; i += 4) {
+                __m256d a = _mm256_loadu_pd(xr + i);
+                __m256d b = _mm256_loadu_pd(xi + i);
+                __m256d c = _mm256_loadu_pd(cr + i);
+                __m256d d = _mm256_loadu_pd(ci + i);
+                __m256d sr = _mm256_loadu_pd(zr + i);
+                __m256d si = _mm256_loadu_pd(zi + i);
+                sr = _mm256_fmadd_pd(a, c, _mm256_fnmadd_pd(b, d, sr));
+                si = _mm256_fmadd_pd(a, d, _mm256_fmadd_pd(b, c, si));
+                _mm256_storeu_pd(zr + i, sr);
+                _mm256_storeu_pd(zi + i, si);
+            }
+        }
 #endif
         if (first) {
             for (; i < nf; ++i) {
@@ -980,6 +1290,21 @@ class ConvStage : public Stage {
             _mm512_storeu_pd(zr + i, sr);
             _mm512_storeu_pd(zi + i, si);
         }
+#elif R8BT_AVX2
+        for (; i + 4 <= nf; i += 4) {
+            __m256d sr = _mm256_setzero_pd();
+            __m256d si = _mm256_setzero_pd();
+            for (long p = 0; p < nP; ++p) {
+                __m256d a = _mm256_loadu_pd(xr[p] + i);
+                __m256d b = _mm256_loadu_pd(xi[p] + i);
+                __m256d c = _mm256_loadu_pd(cr[p] + i);
+                __m256d d = _mm256_loadu_pd(ci[p] + i);
+                sr = _mm256_fmadd_pd(a, c, _mm256_fnmadd_pd(b, d, sr));
+                si = _mm256_fmadd_pd(a, d, _mm256_fmadd_pd(b, c, si));
+            }
+            _mm256_storeu_pd(zr + i, sr);
+            _mm256_storeu_pd(zi + i, si);
+        }
 #endif
         for (; i < nf; ++i) {
             double sr = 0.0, si = 0.0;
@@ -1014,6 +1339,13 @@ class ConvStage : public Stage {
                 _mm512_storeu_pd(zim.data() + m,
                                  _mm512_permutex2var_pd(a, iod, b));
             }
+        }
+#elif R8BT_AVX2
+        for (; m + 4 <= h; m += 4) {
+            __m256d a = _mm256_loadu_pd(rbuf.data() + 2 * m);
+            __m256d b = _mm256_loadu_pd(rbuf.data() + 2 * m + 4);
+            _mm256_storeu_pd(zre.data() + m, r8bt_even(a, b));
+            _mm256_storeu_pd(zim.data() + m, r8bt_odd(a, b));
         }
 #endif
         for (; m < h; ++m) {
@@ -1056,6 +1388,34 @@ class ConvStage : public Stage {
                         _mm512_fmadd_pd(oi, twr, ei)));
             }
         }
+#elif R8BT_AVX2
+        {
+            const __m256d half_ = _mm256_set1_pd(0.5);
+            for (; k + 4 <= h; k += 4) {
+                __m256d zr = _mm256_loadu_pd(zre.data() + k);
+                __m256d zi = _mm256_loadu_pd(zim.data() + k);
+                /* conj(Z[h-k .. h-k-3]) via reversed loads */
+                __m256d cr = r8bt_rev4(
+                    _mm256_loadu_pd(zre.data() + (h - k - 3)));
+                __m256d ci = _mm256_sub_pd(
+                    _mm256_setzero_pd(),
+                    r8bt_rev4(_mm256_loadu_pd(zim.data() + (h - k - 3))));
+                __m256d er = _mm256_mul_pd(half_, _mm256_add_pd(zr, cr));
+                __m256d ei = _mm256_mul_pd(half_, _mm256_add_pd(zi, ci));
+                __m256d orr = _mm256_mul_pd(half_, _mm256_sub_pd(zi, ci));
+                __m256d oi = _mm256_mul_pd(half_, _mm256_sub_pd(cr, zr));
+                __m256d twr = _mm256_loadu_pd(utwRe.data() + k);
+                __m256d twi = _mm256_loadu_pd(utwIm.data() + k);
+                _mm256_storeu_pd(
+                    outRe + k,
+                    _mm256_fmadd_pd(orr, twr,
+                                    _mm256_fnmadd_pd(oi, twi, er)));
+                _mm256_storeu_pd(
+                    outIm + k,
+                    _mm256_fmadd_pd(orr, twi,
+                                    _mm256_fmadd_pd(oi, twr, ei)));
+            }
+        }
 #endif
         for (; k < h; ++k) {
             int kc = h - k;
@@ -1088,6 +1448,15 @@ class ConvStage : public Stage {
                 _mm512_storeu_pd(outRe + (nfft - q - 7), a);
                 _mm512_storeu_pd(outIm + (nfft - q - 7), bneg);
             }
+        }
+#elif R8BT_AVX2
+        for (; q + 4 <= h; q += 4) {
+            __m256d a = r8bt_rev4(_mm256_loadu_pd(outRe + q));
+            __m256d bneg = _mm256_sub_pd(
+                _mm256_setzero_pd(),
+                r8bt_rev4(_mm256_loadu_pd(outIm + q)));
+            _mm256_storeu_pd(outRe + (nfft - q - 3), a);
+            _mm256_storeu_pd(outIm + (nfft - q - 3), bneg);
         }
 #endif
         for (; q < h; ++q) {
@@ -1185,6 +1554,17 @@ class ConvStage : public Stage {
                         _mm512_add_pd(_mm512_loadu_pd(yim.data() + i),
                                       _mm512_loadu_pd(ai_ + i)));
                 }
+#elif R8BT_AVX2
+                for (; i + 4 <= nf; i += 4) {
+                    _mm256_storeu_pd(
+                        yre.data() + i,
+                        _mm256_add_pd(_mm256_loadu_pd(yre.data() + i),
+                                      _mm256_loadu_pd(ar + i)));
+                    _mm256_storeu_pd(
+                        yim.data() + i,
+                        _mm256_add_pd(_mm256_loadu_pd(yim.data() + i),
+                                      _mm256_loadu_pd(ai_ + i)));
+                }
 #endif
                 for (; i < nf; ++i) {
                     yre[(size_t)i] += ar[i];
@@ -1211,6 +1591,17 @@ class ConvStage : public Stage {
                                      _mm512_permutex2var_pd(a, ilo, bv));
                     _mm512_storeu_pd(blk.data() + 2 * m + 8,
                                      _mm512_permutex2var_pd(a, ihi, bv));
+                }
+            }
+#elif R8BT_AVX2
+            if (up == 2) {
+                for (; m + 4 <= S; m += 4) {
+                    long j = m + S;
+                    __m256d a = _mm256_loadu_pd(yre.data() + j);
+                    __m256d bv = _mm256_loadu_pd(yim.data() + j);
+                    _mm256_storeu_pd(blk.data() + 2 * m, r8bt_ilo(a, bv));
+                    _mm256_storeu_pd(blk.data() + 2 * m + 4,
+                                     r8bt_ihi(a, bv));
                 }
             }
 #endif
@@ -1307,6 +1698,38 @@ class HBUpStage : public Stage {
             _mm512_storeu_pd(o + 8, _mm512_permutex2var_pd(ev, ihi, od));
             s += 16;
         }
+#elif R8BT_AVX2
+        /* 8 outputs (4 input positions) per iteration: the odd-output
+         * stencil is nt FMAs over unit-stride loads, evens interleave in
+         * with unpack+permute pairs */
+        while (s < sEnd) {
+            if ((s & 1) != 0 || s + 8 > sEnd) {
+                if (s >= sEnd) break;
+                one(s);
+                ++s;
+                continue;
+            }
+            long n = s / 2;
+            const double *W = hist.raw(n - (nt - 1), 2 * nt + 7);
+            if (!W) {
+                one(s);
+                ++s;
+                continue;
+            }
+            const double *C = W + (nt - 1); /* x[n + t] = C[t] */
+            __m256d ev = _mm256_loadu_pd(C);
+            __m256d od = _mm256_setzero_pd();
+            for (long i = 0; i < nt; ++i)
+                od = _mm256_fmadd_pd(
+                    _mm256_set1_pd(taps[(size_t)i]),
+                    _mm256_add_pd(_mm256_loadu_pd(C + 1 + i),
+                                  _mm256_loadu_pd(C - i)),
+                    od);
+            double *o = out + (s - outLat - n0);
+            _mm256_storeu_pd(o, r8bt_ilo(ev, od));
+            _mm256_storeu_pd(o + 4, r8bt_ihi(ev, od));
+            s += 8;
+        }
 #endif
         for (; s < sEnd; ++s) one(s);
     }
@@ -1366,6 +1789,31 @@ class HBDownStage : public Stage {
                     acc);
             _mm512_storeu_pd(out + (n - outLat - n0), acc);
             n += 8;
+        }
+#elif R8BT_AVX2
+        /* 4 outputs per iteration; each stride-2 tap read deinterleaves
+         * two contiguous loads with unpack+permute */
+        while (n + 4 <= nEnd) {
+            const double *W = hist.raw(2 * n - 2 * nt + 1, 4 * nt + 6);
+            if (!W) {
+                one(n);
+                ++n;
+                continue;
+            }
+            const long c0 = 2 * nt - 1; /* x[2n + c] = W[c0 + c + 2t] */
+            auto dei = [&](long rel) {
+                __m256d a = _mm256_loadu_pd(W + rel);
+                __m256d b = _mm256_loadu_pd(W + rel + 4);
+                return r8bt_even(a, b);
+            };
+            __m256d acc = dei(c0);
+            for (long i = 0; i < nt; ++i)
+                acc = _mm256_fmadd_pd(
+                    _mm256_set1_pd(taps[(size_t)i]),
+                    _mm256_add_pd(dei(c0 + 1 + 2 * i), dei(c0 - 1 - 2 * i)),
+                    acc);
+            _mm256_storeu_pd(out + (n - outLat - n0), acc);
+            n += 4;
         }
 #endif
         for (; n < nEnd; ++n) one(n);
@@ -1483,6 +1931,85 @@ class FracWholeStage : public Stage {
                 n += outStep;
             }
         }
+#elif R8BT_AVX2
+        if (outStep >= 8) {
+            /* supercycle-table path, 4-lane: see the AVX-512 comment */
+            long nAlign = ((n + outStep - 1) / outStep) * outStep;
+            if (nAlign > n1) nAlign = n1;
+            emitGeneric(out, n0, n, nAlign);
+            n = nAlign;
+            const long nq4 = outStep & ~3L;
+            while (n + outStep <= n1) {
+                long g = w0 + n * inStep;
+                long sBase = g / outStep;
+                const double *W = hist.raw(sBase - (fl2() - 1), span);
+                if (!W) {  /* stream-start boundary */
+                    emitGeneric(out, n0, n, n + outStep);
+                    n += outStep;
+                    continue;
+                }
+                double *o = out + (n - n0);
+                const double *tab = table.data();
+                const long *qR = qRow.data(), *qO = qS.data();
+                const int nv = (int)(fl >> 2);
+                const unsigned rem = (unsigned)(fl & 3);
+                const __m256i tm = r8bt_tailmask4(rem);
+                for (long q = 0; q < nq4; q += 4) {
+                    const double *f0 = tab + qR[q], *f1 = tab + qR[q + 1];
+                    const double *f2 = tab + qR[q + 2],
+                                 *f3 = tab + qR[q + 3];
+                    const double *w0p = W + qO[q], *w1p = W + qO[q + 1];
+                    const double *w2p = W + qO[q + 2],
+                                 *w3p = W + qO[q + 3];
+                    __m256d a0 = _mm256_setzero_pd(), a1 = a0, a2 = a0,
+                            a3 = a0;
+                    for (int v = 0; v < nv; ++v) {
+                        const long ofs = (long)v * 4;
+                        a0 = _mm256_fmadd_pd(_mm256_loadu_pd(f0 + ofs),
+                                             _mm256_loadu_pd(w0p + ofs), a0);
+                        a1 = _mm256_fmadd_pd(_mm256_loadu_pd(f1 + ofs),
+                                             _mm256_loadu_pd(w1p + ofs), a1);
+                        a2 = _mm256_fmadd_pd(_mm256_loadu_pd(f2 + ofs),
+                                             _mm256_loadu_pd(w2p + ofs), a2);
+                        a3 = _mm256_fmadd_pd(_mm256_loadu_pd(f3 + ofs),
+                                             _mm256_loadu_pd(w3p + ofs), a3);
+                    }
+                    if (rem) {
+                        const long ofs = (long)nv * 4;
+                        a0 = _mm256_fmadd_pd(
+                            _mm256_maskload_pd(f0 + ofs, tm),
+                            _mm256_maskload_pd(w0p + ofs, tm), a0);
+                        a1 = _mm256_fmadd_pd(
+                            _mm256_maskload_pd(f1 + ofs, tm),
+                            _mm256_maskload_pd(w1p + ofs, tm), a1);
+                        a2 = _mm256_fmadd_pd(
+                            _mm256_maskload_pd(f2 + ofs, tm),
+                            _mm256_maskload_pd(w2p + ofs, tm), a2);
+                        a3 = _mm256_fmadd_pd(
+                            _mm256_maskload_pd(f3 + ofs, tm),
+                            _mm256_maskload_pd(w3p + ofs, tm), a3);
+                    }
+                    _mm256_storeu_pd(o + q, r8bt_hsum4x4(a0, a1, a2, a3));
+                }
+                for (long q = nq4; q < outStep; ++q) {
+                    const double *fp = tab + qR[q];
+                    const double *wp = W + qO[q];
+                    __m256d a = _mm256_setzero_pd();
+                    for (int v = 0; v < nv; ++v)
+                        a = _mm256_fmadd_pd(
+                            _mm256_loadu_pd(fp + (long)v * 4),
+                            _mm256_loadu_pd(wp + (long)v * 4), a);
+                    if (rem) {
+                        const long ofs = (long)nv * 4;
+                        a = _mm256_fmadd_pd(
+                            _mm256_maskload_pd(fp + ofs, tm),
+                            _mm256_maskload_pd(wp + ofs, tm), a);
+                    }
+                    o[q] = r8bt_hadd4(a);
+                }
+                n += outStep;
+            }
+        }
 #endif
         emitGeneric(out, n0, n, n1);
     }
@@ -1556,6 +2083,90 @@ class FracWholeStage : public Stage {
                             _mm512_maskz_loadu_pd(tmask, wp[q] + o), a);
                     }
                     *op[q] = _mm512_reduce_add_pd(a);
+                }
+            }
+            nb = 0;
+        };
+        for (long n = nFrom; n < nTo; ++n) {
+            const double *flt = &table[(size_t)(f * fl)];
+            const double *w = hist.raw(s - fll, fl);
+            if (w) {
+                fp[nb] = flt;
+                wp[nb] = w;
+                op[nb] = out + (n - nBase);
+                if (++nb == 4) flush();
+            } else {  /* stream-start boundary: zero-extended history */
+                double acc = 0.0;
+                for (long i = 0; i < fl; ++i)
+                    acc += flt[i] * hist.at(s - fll + i);
+                out[n - nBase] = acc;
+            }
+            s += sInc;
+            f += fInc;
+            if (f >= outStep) {
+                f -= outStep;
+                ++s;
+            }
+        }
+        flush();
+#elif R8BT_AVX2
+        /* Four outputs in flight (see the AVX-512 comment); tails of
+         * non-multiple-of-4 tap counts are AVX2 masked loads. */
+        const int nv = (int)(fl >> 2);
+        const unsigned rem = (unsigned)(fl & 3);
+        const __m256i tmask = r8bt_tailmask4(rem);
+        const double *fp[4], *wp[4];
+        double *op[4];
+        int nb = 0;
+        auto flush = [&]() {
+            if (nb == 4) {
+                __m256d a0 = _mm256_setzero_pd(), a1 = a0, a2 = a0, a3 = a0;
+                for (int v = 0; v < nv; ++v) {
+                    const long o = (long)v * 4;
+                    a0 = _mm256_fmadd_pd(_mm256_loadu_pd(fp[0] + o),
+                                         _mm256_loadu_pd(wp[0] + o), a0);
+                    a1 = _mm256_fmadd_pd(_mm256_loadu_pd(fp[1] + o),
+                                         _mm256_loadu_pd(wp[1] + o), a1);
+                    a2 = _mm256_fmadd_pd(_mm256_loadu_pd(fp[2] + o),
+                                         _mm256_loadu_pd(wp[2] + o), a2);
+                    a3 = _mm256_fmadd_pd(_mm256_loadu_pd(fp[3] + o),
+                                         _mm256_loadu_pd(wp[3] + o), a3);
+                }
+                if (rem) {
+                    const long o = (long)nv * 4;
+                    a0 = _mm256_fmadd_pd(_mm256_maskload_pd(fp[0] + o, tmask),
+                                         _mm256_maskload_pd(wp[0] + o, tmask),
+                                         a0);
+                    a1 = _mm256_fmadd_pd(_mm256_maskload_pd(fp[1] + o, tmask),
+                                         _mm256_maskload_pd(wp[1] + o, tmask),
+                                         a1);
+                    a2 = _mm256_fmadd_pd(_mm256_maskload_pd(fp[2] + o, tmask),
+                                         _mm256_maskload_pd(wp[2] + o, tmask),
+                                         a2);
+                    a3 = _mm256_fmadd_pd(_mm256_maskload_pd(fp[3] + o, tmask),
+                                         _mm256_maskload_pd(wp[3] + o, tmask),
+                                         a3);
+                }
+                double s4[4];
+                _mm256_storeu_pd(s4, r8bt_hsum4x4(a0, a1, a2, a3));
+                *op[0] = s4[0];
+                *op[1] = s4[1];
+                *op[2] = s4[2];
+                *op[3] = s4[3];
+            } else {
+                for (int q = 0; q < nb; ++q) {
+                    __m256d a = _mm256_setzero_pd();
+                    for (int v = 0; v < nv; ++v)
+                        a = _mm256_fmadd_pd(
+                            _mm256_loadu_pd(fp[q] + (long)v * 4),
+                            _mm256_loadu_pd(wp[q] + (long)v * 4), a);
+                    if (rem) {
+                        const long o = (long)nv * 4;
+                        a = _mm256_fmadd_pd(
+                            _mm256_maskload_pd(fp[q] + o, tmask),
+                            _mm256_maskload_pd(wp[q] + o, tmask), a);
+                    }
+                    *op[q] = r8bt_hadd4(a);
                 }
             }
             nb = 0;
@@ -1740,6 +2351,57 @@ class FracPolyStage : public Stage {
                                         a);
                 }
                 out[n - n0] = _mm512_reduce_add_pd(a);
+            } else {  /* stream-start boundary */
+                double acc = 0.0;
+                for (long i = 0; i < fl; ++i)
+                    acc += (c0[i] + (c1[i] + c2[i] * t) * t) *
+                           hist.at(s - fll + i);
+                out[n - n0] = acc;
+            }
+        }
+#elif R8BT_AVX2
+        /* coefficient-plane layout (see the AVX-512 comment), 4-lane */
+        if (planes.empty()) {
+            planes.assign((size_t)(rows * 3 * fl), 0.0);
+            for (long r = 0; r < rows; ++r)
+                for (long i = 0; i < fl; ++i)
+                    for (long c = 0; c < 3; ++c)
+                        planes[(size_t)((r * 3 + c) * fl + i)] =
+                            table[(size_t)((r * fl + i) * 3 + c)];
+        }
+        const int nv = (int)(fl >> 2);
+        const unsigned rem = (unsigned)(fl & 3);
+        const __m256i tm = r8bt_tailmask4(rem);
+        for (long n = n0; n < n1; ++n) {
+            double p = posOf(n);
+            long s = (long)std::floor(p);
+            double fr = (p - (double)s) * (double)fracs;
+            long fi = (long)std::floor(fr);
+            double t = fr - (double)fi;
+            const double *c0 = planes.data() + (size_t)(fi * 3 * fl);
+            const double *c1 = c0 + fl, *c2 = c1 + fl;
+            const double *w = hist.raw(s - fll, fl);
+            if (w) {
+                const __m256d tv = _mm256_set1_pd(t);
+                __m256d a = _mm256_setzero_pd();
+                for (int v = 0; v < nv; ++v) {
+                    const long o = (long)v * 4;
+                    __m256d coef = _mm256_fmadd_pd(
+                        _mm256_fmadd_pd(_mm256_loadu_pd(c2 + o), tv,
+                                        _mm256_loadu_pd(c1 + o)),
+                        tv, _mm256_loadu_pd(c0 + o));
+                    a = _mm256_fmadd_pd(coef, _mm256_loadu_pd(w + o), a);
+                }
+                if (rem) {
+                    const long o = (long)nv * 4;
+                    __m256d coef = _mm256_fmadd_pd(
+                        _mm256_fmadd_pd(_mm256_maskload_pd(c2 + o, tm), tv,
+                                        _mm256_maskload_pd(c1 + o, tm)),
+                        tv, _mm256_maskload_pd(c0 + o, tm));
+                    a = _mm256_fmadd_pd(coef, _mm256_maskload_pd(w + o, tm),
+                                        a);
+                }
+                out[n - n0] = r8bt_hadd4(a);
             } else {  /* stream-start boundary */
                 double acc = 0.0;
                 for (long i = 0; i < fl; ++i)

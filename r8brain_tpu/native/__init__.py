@@ -14,6 +14,7 @@ host-side streaming with no Python in the audio path.  This module provides:
 from __future__ import annotations
 
 import ctypes
+import os
 import struct
 import subprocess
 from pathlib import Path
@@ -43,9 +44,13 @@ def load_library(build_if_missing: bool = True) -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    if not _LIB_PATH.exists() and build_if_missing:
+    # R8BT_LIB points at an alternate build (e.g. an AVX2-capped .so for
+    # ISA A/B testing, or a system-installed deployment library)
+    override = os.environ.get("R8BT_LIB")
+    lib_path = Path(override) if override else _LIB_PATH
+    if override is None and not _LIB_PATH.exists() and build_if_missing:
         build_library()
-    lib = ctypes.CDLL(str(_LIB_PATH))
+    lib = ctypes.CDLL(str(lib_path))
     lib.r8bt_create_from_blob.restype = ctypes.c_void_p
     lib.r8bt_create_from_blob.argtypes = [ctypes.c_void_p, ctypes.c_size_t]
     lib.r8bt_delete.argtypes = [ctypes.c_void_p]
