@@ -5,6 +5,7 @@ analog, DLL/r8bsrc.h); it must execute the planned chain sample-exactly.
 Skipped when no C++ toolchain is available.
 """
 
+import os
 import shutil
 
 import numpy as np
@@ -150,3 +151,43 @@ def test_native_hbdown_chunk_boundary(native):
         y = np.concatenate([nr.process(x[:cut]), nr.process(x[cut:])])
         ref = orc.oneshot(x, len(y))
         assert rms_db(y - ref[: len(y)]) < -280.0, (nt, cut)
+
+
+@pytest.mark.slow
+def test_native_avx2_paths_match_oracle(tmp_path):
+    """ISA coverage: the 4-lane AVX2+FMA kernels (hosts without AVX-512)
+    must be oracle-exact too.  Builds the AVX-512-masked library and
+    re-runs the parity check through it in a subprocess (R8BT_LIB), so
+    the default-build module cache is untouched."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    nat = Path(__file__).resolve().parent.parent / "native"
+    r = subprocess.run(["make", "-C", str(nat), "libr8bt_avx2.so"],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    prog = (
+        "import numpy as np\n"
+        "from r8brain_tpu.native import NativeResampler\n"
+        "from r8brain_tpu.models.oracle import OracleResampler\n"
+        "from tests.helpers import lcg_uniform, rms_db\n"
+        "for src, dst in ((44100, 96000), (96000, 44100),\n"
+        "                 (44100, 96001), (2822400, 96000)):\n"
+        "    nr = NativeResampler(src, dst, 2.0, 180.15, 0)\n"
+        "    orc = OracleResampler(src, dst, 4096, 2.0, 180.15, 0,\n"
+        "                          plan=nr.plan)\n"
+        "    n = 8000 if src < 10**6 else 200000\n"
+        "    x = lcg_uniform(3, n)\n"
+        "    out_len = int(np.floor(n * dst / src))\n"
+        "    d = rms_db(nr.oneshot(x, out_len) - orc.oneshot(x, out_len))\n"
+        "    assert d < -280.0, (src, dst, d)\n"
+        "print('AVX2 PARITY OK')\n"
+    )
+    env = dict(os.environ, R8BT_LIB=str(nat / "libr8bt_avx2.so"),
+               JAX_PLATFORMS="cpu")
+    r = subprocess.run([sys.executable, "-c", prog], capture_output=True,
+                       text=True, env=env,
+                       cwd=str(Path(__file__).resolve().parent.parent))
+    assert r.returncode == 0, (r.stdout, r.stderr[-2000:])
+    assert "AVX2 PARITY OK" in r.stdout
