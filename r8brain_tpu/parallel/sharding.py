@@ -95,6 +95,40 @@ def chain_input_span(plan: Plan) -> int:
     return span
 
 
+def shard_geometry(plan: Plan, period: Optional[Tuple[int, int]],
+                   span: int, n_t: int, out_len: int, n_in: int):
+    """Per-device (M_s, L_s, H, W, R) for ``n_t`` time shards: M_s
+    outputs / L_s useful inputs per device, H left halo (input span),
+    W warmup outputs recomputed from the halo, R right halo.  Shared by
+    ShardedResampler and tools/halo_model.py, so the published scaling
+    model is computed from the exact production geometry."""
+    if n_t == 1:
+        # channel-only: one time block covering the whole input
+        M_s = out_len
+        L_s = max(n_in, chain_in_for_out(plan.stages, out_len))
+        R = max(0, chain_in_for_out(plan.stages, out_len) - L_s)
+        return M_s, L_s, 0, 0, R
+    p_in, p_out = period
+    M_s = _round_up(_round_up(out_len, n_t) // n_t, p_out)
+    # cover both the output-derived input need and the full given input
+    # (outputs near out_len reach up to lat_in real samples past
+    # out_len * p_in/p_out; truncating real input would wrongly feed
+    # the last device zeros)
+    L_s = _round_up(max(M_s * p_in // p_out, -(-n_in // n_t)), p_in)
+    M_s = L_s * p_out // p_in
+    H = _round_up(span + 64, p_in)
+    W = H * p_out // p_in
+    need = chain_in_for_out(plan.stages, W + M_s)
+    R = max(0, need - (H + L_s))
+    R = _round_up(R, p_in) + p_in
+    if H > L_s or R > L_s:
+        # halos must come from the immediate neighbor only
+        grow = _round_up(max(H, R), p_in)
+        L_s = max(L_s, grow)
+        M_s = L_s * p_out // p_in
+    return M_s, L_s, H, W, R
+
+
 def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
@@ -128,32 +162,8 @@ class ShardedResampler:
 
     def _geometry(self, out_len: int, n_in: int):
         """Per-device segment/halo sizes for a target output length."""
-        n_t = self.n_t
-        if n_t == 1:
-            # channel-only: one time block covering the whole input
-            M_s = out_len
-            L_s = max(n_in, chain_in_for_out(self.rs.plan.stages, out_len))
-            R = max(0, chain_in_for_out(self.rs.plan.stages, out_len) - L_s)
-            return M_s, L_s, 0, 0, R
-        p_in, p_out = self.period
-        M_s = _round_up(_round_up(out_len, n_t) // n_t, p_out)
-        # cover both the output-derived input need and the full given input
-        # (outputs near out_len reach up to lat_in real samples past
-        # out_len * p_in/p_out; truncating real input would wrongly feed
-        # the last device zeros)
-        L_s = _round_up(max(M_s * p_in // p_out, -(-n_in // n_t)), p_in)
-        M_s = L_s * p_out // p_in
-        H = _round_up(self.span + 64, p_in)
-        W = H * p_out // p_in
-        need = chain_in_for_out(self.rs.plan.stages, W + M_s)
-        R = max(0, need - (H + L_s))
-        R = _round_up(R, p_in) + p_in
-        if H > L_s or R > L_s:
-            # halos must come from the immediate neighbor only
-            grow = _round_up(max(H, R), p_in)
-            L_s = max(L_s, grow)
-            M_s = L_s * p_out // p_in
-        return M_s, L_s, H, W, R
+        return shard_geometry(self.rs.plan, self.period, self.span,
+                              self.n_t, out_len, n_in)
 
     # -- execution -------------------------------------------------------
 

@@ -105,3 +105,32 @@ def test_uneven_channels():
     y = np.asarray(srs.oneshot(x, out_len))
     assert y.shape == ref.shape
     assert rms_db(y - ref) < -260.0
+
+
+class TestHaloEfficiencyModel:
+    """The published scaling-efficiency claims (README/BASELINE) must be
+    reproducible from the production geometry (tools/halo_model.py uses
+    the same shard_geometry as ShardedResampler)."""
+
+    def test_flagship_efficiency_table(self):
+        from r8brain_tpu.models.plan import make_plan
+        from r8brain_tpu.parallel.sharding import (
+            chain_input_span, chain_shift_period, shard_geometry)
+
+        plan = make_plan(44100.0, 96000.0, 2.0, 180.15, 0)
+        period = chain_shift_period(plan)
+        span = chain_input_span(plan)
+
+        def eff(n_t, sec):
+            n_in = int(sec * 44100)
+            out_len = int(n_in * 96000 / 44100)
+            M_s, L_s, H, W, R = shard_geometry(plan, period, span, n_t,
+                                               out_len, n_in)
+            return L_s / (H + L_s + R)
+
+        assert abs(eff(2, 1) - 0.938) < 0.005    # README: 93.8% @ 2 x 1 s
+        assert eff(8, 10) >= 0.974               # README: >= 97.4% @ 8 x 10 s
+        assert eff(2, 60) >= 0.998               # README: ~99.9% @ 60 s
+        # halos are fixed-size: efficiency must be monotone in duration
+        assert eff(8, 10) > eff(8, 1)
+        assert eff(8, 60) > eff(8, 10)
