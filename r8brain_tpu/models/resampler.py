@@ -135,8 +135,17 @@ class Resampler:
         ``req_out_pos`` (CDSPResampler.h:406-419)."""
         return self.get_input_required_for_output(req_out_pos + 1) - 1
 
-    def oneshot(self, x, out_len: Optional[int] = None) -> jnp.ndarray:
-        """Offline conversion with zero-flush.  x: [C, N] or [N]."""
+    def oneshot(self, x, out_len: Optional[int] = None,
+                max_chunk: Optional[int] = None) -> jnp.ndarray:
+        """Offline conversion with zero-flush.  x: [C, N] or [N].
+
+        max_chunk bounds device memory for long signals: inputs longer
+        than ``max_chunk`` samples are pushed through the streaming path
+        (StreamResampler, content-identical to the whole-array program)
+        in ``max_chunk``-sized blocks, so the device working set is
+        O(channels x max_chunk) instead of O(channels x N).  Default
+        None keeps the single jitted whole-array program (fastest; one
+        executable per input shape)."""
         x = jnp.asarray(x, dtype=self.dtype)
         squeeze = x.ndim == 1
         if squeeze:
@@ -148,6 +157,16 @@ class Resampler:
             y = x[:, :out_len]
             if out_len > N:
                 y = jnp.pad(y, ((0, 0), (0, out_len - N)))
+            return y[0] if squeeze else y
+        if max_chunk is not None and N > max_chunk:
+            from .stream import StreamResampler
+            sr = StreamResampler(self, block_len=int(max_chunk))
+            xs = np.asarray(x)
+            outs = [sr.process(xs[:, i0 : i0 + max_chunk])
+                    for i0 in range(0, N, max_chunk)]
+            outs.append(sr.flush(out_len))
+            y = jnp.asarray(
+                np.concatenate(outs, axis=1)[:, :out_len], dtype=self.dtype)
             return y[0] if squeeze else y
         T = max(N, self.in_len_for_out(out_len))
         if T > N:

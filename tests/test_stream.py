@@ -272,3 +272,29 @@ def test_stream_random_poly_ratios():
         assert y.shape == ref.shape, (trial, dst, y.shape, ref.shape)
         d = rms_db(y - ref)
         assert d < -290.0, f"trial {trial} dst={dst}: {d:.1f} dB"
+
+
+class TestOneshotMaxChunk:
+    """Resampler.oneshot(max_chunk=...) must match the whole-array
+    program while keeping the device working set bounded (the streaming
+    path underneath is content-identical)."""
+
+    @pytest.mark.parametrize("cfg", [(44100, 96000), (96000, 44100),
+                                     (44100, 96001)])
+    def test_chunked_equals_whole(self, cfg):
+        src, dst = cfg
+        rs = Resampler(src, dst, 2.0, 150.0, 0, dtype="float64")
+        n = 30000
+        x = np.stack([lcg_uniform(11, n), lcg_uniform(12, n)])
+        out_len = rs.default_out_len(n)
+        y_whole = np.asarray(rs.oneshot(x, out_len))
+        y_chunk = np.asarray(rs.oneshot(x, out_len, max_chunk=4096))
+        assert y_chunk.shape == y_whole.shape
+        assert rms_db(y_chunk - y_whole) < -250.0
+
+    def test_chunked_short_input_passthrough(self):
+        rs = Resampler(44100, 96000, 2.0, 150.0, 0, dtype="float64")
+        x = lcg_uniform(3, 1000)
+        y1 = np.asarray(rs.oneshot(x, max_chunk=4096))
+        y0 = np.asarray(rs.oneshot(x))
+        assert rms_db(y1 - y0) < -300.0
