@@ -51,6 +51,12 @@ def main(argv=None):
                          "fixed device blocks with incremental WAV "
                          "read/write — O(block) host memory regardless "
                          "of file length")
+    ap.add_argument("--max-chunk", type=int, default=None, metavar="N",
+                    help="bound DEVICE memory on the oneshot path: inputs "
+                         "longer than N samples run through the streaming "
+                         "engine in N-sample blocks (whole file stays "
+                         "host-side; see --stream for bounded host memory "
+                         "too)")
     args = ap.parse_args(argv)
     if args.bits is None:
         args.bits = 32 if getattr(args, "float") else 24
@@ -92,7 +98,8 @@ def main(argv=None):
 
         rs = Resampler(src_rate, dst_rate, args.tb, args.atten, phase,
                        dtype="float32", precision=args.precision)
-        y = np.asarray(rs.oneshot(x.astype(np.float32), out_len),
+        y = np.asarray(rs.oneshot(x.astype(np.float32), out_len,
+                                  max_chunk=args.max_chunk),
                        dtype=np.float64)
     dt = time.perf_counter() - t0
 
