@@ -32,6 +32,11 @@ run env R8B_BENCH_SRC=44100 R8B_BENCH_DST=2822400 R8B_BENCH_ATTEN=150 R8B_BENCH_
 run env R8B_BENCH_PRECISION=high R8B_BENCH_FUSED=0 R8B_BENCH_ENGINE=pallas_fft5 R8B_BENCH_METRIC=hp_dfft5_guarantee timeout 2400 python bench.py
 run env R8B_BENCH_PRECISION=high R8B_BENCH_FUSED=0 R8B_BENCH_ENGINE=pallas_fft4 R8B_BENCH_METRIC=hp_dfft4_guarantee timeout 2400 python bench.py
 
+# --- precision presets (CDSPResampler16/16IR/24 + default atten) --------
+run env R8B_BENCH_ATTEN=136.45 timeout 1800 python bench.py
+run env R8B_BENCH_ATTEN=109.56 timeout 1800 python bench.py
+run env R8B_BENCH_ATTEN=206.91 timeout 1800 python bench.py
+
 # --- 10k-channel scale ---------------------------------------------------
 run env R8B_BENCH_CHANNELS=10240 R8B_BENCH_ITERS=4 R8B_BENCH_METRIC=fast_10k_channels timeout 2400 python bench.py
 
