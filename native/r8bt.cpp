@@ -2495,6 +2495,7 @@ Engine *parseBlob(const void *blob, size_t len) {
              * availOut() to ~|off| outputs on the first process() call
              * and abort the host on the resize. */
             if (s->up <= 0 || s->down <= 0 || s->off < 0 ||
+                s->off > (1LL << 40) ||
                 s->up > (1 << 20) || s->down > (1 << 20) || s->K <= 0 ||
                 !rd.validCount(s->K)) {
                 delete s;
@@ -2507,8 +2508,8 @@ Engine *parseBlob(const void *blob, size_t len) {
         } else if (kind == 1 || kind == 2) {
             long nt = rd.get<int64_t>();
             long lat = rd.get<int64_t>();
-            if (lat < 0 || nt <= 0 || nt > (1 << 20) ||
-                !rd.validCount(nt)) {
+            if (lat < 0 || lat > (1LL << 40) || nt <= 0 ||
+                nt > (1 << 20) || !rd.validCount(nt)) {
                 rd.ok = false;
                 break;
             }

@@ -158,6 +158,8 @@ class Resampler:
             if out_len > N:
                 y = jnp.pad(y, ((0, 0), (0, out_len - N)))
             return y[0] if squeeze else y
+        if max_chunk is not None and max_chunk < 1:
+            raise ValueError(f"max_chunk must be >= 1, got {max_chunk}")
         if max_chunk is not None and N > max_chunk:
             from .stream import StreamResampler
             sr = StreamResampler(self, block_len=int(max_chunk))

@@ -45,8 +45,9 @@ def load_library(build_if_missing: bool = True) -> ctypes.CDLL:
     if _lib is not None:
         return _lib
     # R8BT_LIB points at an alternate build (e.g. an AVX2-capped .so for
-    # ISA A/B testing, or a system-installed deployment library)
-    override = os.environ.get("R8BT_LIB")
+    # ISA A/B testing, or a system-installed deployment library); empty
+    # value == unset
+    override = os.environ.get("R8BT_LIB") or None
     lib_path = Path(override) if override else _LIB_PATH
     if override is None and not _LIB_PATH.exists() and build_if_missing:
         build_library()

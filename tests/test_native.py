@@ -154,6 +154,9 @@ def test_native_hbdown_chunk_boundary(native):
 
 
 @pytest.mark.slow
+@pytest.mark.skipif(__import__("platform").machine() not in
+                    ("x86_64", "AMD64"),
+                    reason="-mno-avx512* flags are x86-only")
 def test_native_avx2_paths_match_oracle(tmp_path):
     """ISA coverage: the 4-lane AVX2+FMA kernels (hosts without AVX-512)
     must be oracle-exact too.  Builds the AVX-512-masked library and

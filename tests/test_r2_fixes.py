@@ -275,10 +275,14 @@ class TestNativeBlobValidation:
         assert not lib.r8bt_create_from_blob(bytes(bad), len(bad))
         # a negative ConvStage content offset would inflate availOut() to
         # ~|off| outputs on the first process() call; the parse must
-        # reject it (field layout: magic 4 + ver 4 + 3 doubles + ns 4 +
-        # kind 4 + up 8 + down 8 = 36+8+16 -> off at byte 60)
+        # reject it (field layout: magic 4 + ver 4 + 3 doubles 24 + ns 4
+        # + kind 4 + up 8 + down 8 = 56 -> off occupies bytes 56..63)
         bad = bytearray(blob)
-        bad[60:68] = (-(10**18)).to_bytes(8, "little", signed=True)
+        bad[56:64] = (-(10**18)).to_bytes(8, "little", signed=True)
+        assert not lib.r8bt_create_from_blob(bytes(bad), len(bad))
+        # huge positive off must fail too (inForOut would overflow)
+        bad = bytearray(blob)
+        bad[56:64] = (1 << 62).to_bytes(8, "little", signed=True)
         assert not lib.r8bt_create_from_blob(bytes(bad), len(bad))
         # flip bytes throughout; when the parse still accepts the blob,
         # processing a chunk must not abort either (returns any count or

@@ -25,7 +25,7 @@ run env R8B_BENCH_SRC=44100 R8B_BENCH_DST=96001 R8B_BENCH_PRECISION=high timeout
 
 # --- DSD, both directions (Mrops counts INPUT samples: the 64x up
 # direction reads low even when output throughput is ~13 G samples/s) ---
-run env R8B_BENCH_SRC=2822400 R8B_BENCH_DST=96000 R8B_BENCH_ATTEN=150 R8B_BENCH_CHANNELS=64 R8B_BENCH_SECONDS=0.25 timeout 2400 python bench.py
+run env R8B_BENCH_SRC=2822400 R8B_BENCH_DST=96000 R8B_BENCH_ATTEN=150 R8B_BENCH_CHANNELS=64 R8B_BENCH_SECONDS=0.25 R8B_BENCH_METRIC=dsd64_to_96k_throughput timeout 2400 python bench.py
 run env R8B_BENCH_SRC=44100 R8B_BENCH_DST=2822400 R8B_BENCH_ATTEN=150 R8B_BENCH_CHANNELS=64 R8B_BENCH_SECONDS=0.25 R8B_BENCH_METRIC=pcm_to_dsd64_throughput timeout 2400 python bench.py
 
 # --- guarantee engines (backend-independent -141 dB class) --------------
