@@ -21,7 +21,8 @@ from typing import Sequence
 from .plan import ConvStage, FracStage, HBDownStage, HBUpStage, Plan, Stage
 
 __all__ = ["stage_out_len", "stage_in_for_out", "chain_out_len",
-           "chain_in_for_out", "frac_positions"]
+           "chain_in_for_out", "stage_max_out_len", "chain_max_out_len",
+           "frac_positions"]
 
 
 def _frac_read_pos_scalar(spec: FracStage, n: int):
@@ -97,6 +98,29 @@ def chain_in_for_out(stages: Sequence[Stage], m: int) -> int:
     for s in reversed(stages):
         m = stage_in_for_out(s, m)
     return m
+
+
+def stage_max_out_len(spec: Stage, max_in: int) -> int:
+    """Upper bound on outputs a stage can emit for a max_in-sample block
+    at ANY stream position (getMaxOutLen, CDSPProcessor.h:117-127) —
+    unlike stage_out_len this ignores start latency, so it bounds
+    mid-stream blocks too."""
+    if isinstance(spec, ConvStage):
+        return (max_in * spec.up + spec.down - 1) // spec.down
+    if isinstance(spec, HBUpStage):
+        return max_in * 2
+    if isinstance(spec, HBDownStage):
+        return (max_in + 1) // 2
+    if isinstance(spec, FracStage):
+        return int(math.ceil(
+            max_in * spec.dst_rate / spec.src_rate)) + 1
+    raise TypeError(spec)
+
+
+def chain_max_out_len(stages: Sequence[Stage], max_in: int) -> int:
+    for s in stages:
+        max_in = stage_max_out_len(s, max_in)
+    return max_in
 
 
 def frac_positions(spec: FracStage, n0: int, count: int):

@@ -124,6 +124,15 @@ class Resampler:
     def default_out_len(self, n_in: int) -> int:
         return int(math.floor(n_in * self.plan.dst_rate / self.plan.src_rate))
 
+    def max_out_len(self, max_in: int) -> int:
+        """Upper bound on outputs a ``max_in``-sample block can produce at
+        ANY stream position — the reference's buffer-sizing query
+        (getMaxOutLen, CDSPResampler.h:497-506).  Unlike out_len_for_in
+        (exact count from stream start) this ignores start latency, so it
+        also bounds mid-stream StreamResampler blocks."""
+        from .lengths import chain_max_out_len
+        return chain_max_out_len(self.plan.stages, max_in)
+
     def get_input_required_for_output(self, req_out: int) -> int:
         """Minimal input count yielding >= req_out outputs
         (getInputRequiredForOutput, CDSPResampler.h:476-484)."""

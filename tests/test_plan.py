@@ -99,3 +99,27 @@ def test_latency_query_consistency():
             y2 = rs.process(lcg_uniform(3, need - 1))
             assert y2.shape[0] < n, (src, dst, n, need, y2.shape)
         rs.clear()
+
+
+class TestMaxOutLen:
+    """max_out_len (getMaxOutLen, CDSPResampler.h:497-506): an upper
+    bound on outputs per block at ANY stream position — must dominate
+    both the start block and every mid-stream block."""
+
+    @pytest.mark.parametrize("cfg", [(44100, 96000), (96000, 44100),
+                                     (44100, 96001), (44100, 176400)])
+    def test_bounds_streaming_blocks(self, cfg):
+        src, dst = cfg
+        import numpy as np
+        from r8brain_tpu.models.oracle import OracleResampler
+
+        orc = OracleResampler(src, dst, 4096, 2.0, 140.0, 0)
+        from r8brain_tpu.models.lengths import chain_max_out_len
+
+        block = 1000
+        bound = chain_max_out_len(orc.plan.stages, block)
+        assert bound == orc.max_out_len(block)
+        x = np.random.default_rng(0).standard_normal(20 * block)
+        for i in range(20):
+            y = orc.process(x[i * block : (i + 1) * block])
+            assert len(y) <= bound, (i, len(y), bound)
