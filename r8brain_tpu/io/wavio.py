@@ -39,7 +39,10 @@ class WavData:
 
 def read_wav(path: str) -> WavData:
     with open(path, "rb") as f:
-        riff, _size, wave_ = struct.unpack("<4sI4s", f.read(12))
+        head = f.read(12)
+        if len(head) < 12:
+            raise ValueError(f"{path}: not a RIFF/WAVE file (truncated)")
+        riff, _size, wave_ = struct.unpack("<4sI4s", head)
         if riff != b"RIFF" or wave_ != b"WAVE":
             raise ValueError(f"{path}: not a RIFF/WAVE file")
         fmt = None
@@ -56,11 +59,23 @@ def read_wav(path: str) -> WavData:
                 data = payload
         if fmt is None or data is None:
             raise ValueError(f"{path}: missing fmt/data chunk")
+        if len(fmt) < 16:
+            raise ValueError(f"{path}: truncated fmt chunk ({len(fmt)} B)")
         (tag, ch, rate, _br, _ba, bits) = struct.unpack("<HHIIHH", fmt[:16])
         if tag == _WAVE_FORMAT_EXTENSIBLE:
+            if len(fmt) < 26:
+                raise ValueError(
+                    f"{path}: truncated WAVE_FORMAT_EXTENSIBLE fmt chunk")
             tag = struct.unpack("<H", fmt[24:26])[0]
+        if ch < 1 or rate < 1 or bits not in (16, 24, 32, 64):
+            raise ValueError(
+                f"{path}: malformed fmt (channels={ch}, rate={rate}, "
+                f"bits={bits})")
         n = len(data) // (bits // 8) // ch
         if tag == _WAVE_FORMAT_IEEE_FLOAT:
+            if bits not in (32, 64):
+                raise ValueError(
+                    f"{path}: IEEE-float WAV with unsupported depth {bits}")
             dt = np.float32 if bits == 32 else np.float64
             x = np.frombuffer(data, dtype="<" + np.dtype(dt).char,
                               count=n * ch).astype(np.float64)
@@ -198,7 +213,10 @@ class WavReader:
     def __init__(self, path: str):
         self._f = open(path, "rb")
         try:
-            riff, _size, wave_ = struct.unpack("<4sI4s", self._f.read(12))
+            head = self._f.read(12)
+            if len(head) < 12:
+                raise ValueError(f"{path}: not a RIFF/WAVE file (truncated)")
+            riff, _size, wave_ = struct.unpack("<4sI4s", head)
             if riff != b"RIFF" or wave_ != b"WAVE":
                 raise ValueError(f"{path}: not a RIFF/WAVE file")
             self._data_left = None
@@ -217,12 +235,23 @@ class WavReader:
                     self._f.seek(csize + (csize & 1), 1)
             if fmt is None or self._data_left is None:
                 raise ValueError(f"{path}: missing fmt/data chunk")
+            if len(fmt) < 16:
+                raise ValueError(
+                    f"{path}: truncated fmt chunk ({len(fmt)} B)")
             (tag, ch, rate, _br, _ba, bits) = struct.unpack("<HHIIHH",
                                                             fmt[:16])
             if tag == _WAVE_FORMAT_EXTENSIBLE:
+                if len(fmt) < 26:
+                    raise ValueError(f"{path}: truncated "
+                                     "WAVE_FORMAT_EXTENSIBLE fmt chunk")
                 tag = struct.unpack("<H", fmt[24:26])[0]
             if tag not in (_WAVE_FORMAT_PCM, _WAVE_FORMAT_IEEE_FLOAT):
                 raise ValueError(f"{path}: unsupported format tag {tag}")
+            if ch < 1 or rate < 1 or bits not in (16, 24, 32, 64) or (
+                    tag == _WAVE_FORMAT_IEEE_FLOAT and bits not in (32, 64)):
+                raise ValueError(
+                    f"{path}: malformed fmt (channels={ch}, rate={rate}, "
+                    f"bits={bits})")
             self.tag, self.rate, self.channels, self.bits = \
                 tag, rate, ch, bits
             self.float_fmt = tag == _WAVE_FORMAT_IEEE_FLOAT

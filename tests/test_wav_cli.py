@@ -133,3 +133,54 @@ def test_cli_stream_matches_oneshot(tmp_path):
     wb = read_wav(str(b))
     assert wa.data.shape == wb.data.shape
     assert rms_db(wa.data - wb.data) < -135.0
+
+
+class TestMalformedWav:
+    """read_wav / WavReader must reject corrupted files with ValueError
+    (not struct.error / ZeroDivisionError / numpy buffer errors) — the
+    WAV parser is this framework's own untrusted-input surface, like the
+    native engine's plan blobs."""
+
+    def _cases(self, tmp_path):
+        import struct
+
+        def wav(fmt_payload, data=b"\x00" * 64):
+            out = b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+            out += b"fmt " + struct.pack("<I", len(fmt_payload)) \
+                + fmt_payload + (b"\x00" * (len(fmt_payload) & 1))
+            out += b"data" + struct.pack("<I", len(data)) + data
+            return out
+
+        good = struct.pack("<HHIIHH", 1, 1, 44100, 88200, 2, 16)
+        return {
+            "truncated_header": b"RIFF\x00\x00",
+            "not_wave": b"RIFX" + b"\x00" * 20,
+            "short_fmt": wav(good[:10]),
+            "zero_channels": wav(struct.pack("<HHIIHH", 1, 0, 44100,
+                                             0, 0, 16)),
+            "zero_bits": wav(struct.pack("<HHIIHH", 1, 1, 44100, 0, 0, 0)),
+            "odd_bits": wav(struct.pack("<HHIIHH", 1, 1, 44100, 0, 0, 12)),
+            "float_16bit": wav(struct.pack("<HHIIHH", 3, 1, 44100, 0, 0,
+                                           16)),
+            "short_extensible": wav(struct.pack("<HHIIHH", 0xFFFE, 1,
+                                                44100, 0, 0, 16)),
+            "zero_rate": wav(struct.pack("<HHIIHH", 1, 1, 0, 0, 0, 16)),
+        }
+
+    def test_read_wav_rejects(self, tmp_path):
+        from r8brain_tpu.io.wavio import read_wav
+
+        for name, blob in self._cases(tmp_path).items():
+            p = tmp_path / f"{name}.wav"
+            p.write_bytes(blob)
+            with pytest.raises(ValueError):
+                read_wav(str(p))
+
+    def test_wavreader_rejects(self, tmp_path):
+        from r8brain_tpu.io.wavio import WavReader
+
+        for name, blob in self._cases(tmp_path).items():
+            p = tmp_path / f"{name}.wav"
+            p.write_bytes(blob)
+            with pytest.raises(ValueError):
+                WavReader(str(p))
