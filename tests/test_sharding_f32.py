@@ -89,3 +89,44 @@ def test_sharded_f32_still_meets_golden_class():
                    dtype=np.float64)[0]
     d = rms_db(y - ref)
     assert d < -141.0, d
+
+
+@pytest.mark.slow
+def test_wide_mesh_16_devices_subprocess():
+    """Geometry/collectives at 2x wider time axis than the default
+    8-device fixture: a 2x8 (ch, t) mesh must stay at the backend's f32
+    accumulation floor vs unsharded (subprocess: the device count is a
+    process-level XLA flag)."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    prog = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import numpy as np, jax.numpy as jnp\n"
+        "from jax.sharding import Mesh\n"
+        "from r8brain_tpu.models.resampler import Resampler\n"
+        "from r8brain_tpu.parallel.sharding import ShardedResampler\n"
+        "devs = np.array(jax.devices()[:16]).reshape(2, 8)\n"
+        "mesh = Mesh(devs, ('ch', 't'))\n"
+        "rs = Resampler(44100, 96000, 2.0, 150.0, 0, dtype='float32')\n"
+        "srs = ShardedResampler(rs, mesh)\n"
+        "x = jnp.asarray(np.random.default_rng(0).standard_normal(\n"
+        "    (4, 44100)), dtype=jnp.float32)\n"
+        "out_len = rs.default_out_len(44100)\n"
+        "y = np.asarray(srs.oneshot(x, out_len), dtype=np.float64)\n"
+        "ref = np.asarray(rs.oneshot(x, out_len), dtype=np.float64)\n"
+        "d = y - ref\n"
+        "rms = 10*np.log10(np.mean(d*d)+1e-300)\n"
+        "assert rms < -125.0, rms\n"   # XLA:CPU f32 matmul floor ~-131
+        "print('WIDE MESH OK', rms)\n"
+    )
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=16",
+               JAX_PLATFORMS="cpu")
+    r = subprocess.run([sys.executable, "-c", prog], capture_output=True,
+                       text=True, env=env,
+                       cwd=str(Path(__file__).resolve().parent.parent))
+    assert r.returncode == 0, (r.stdout, r.stderr[-2000:])
+    assert "WIDE MESH OK" in r.stdout
