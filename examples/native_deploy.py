@@ -66,6 +66,18 @@ def main(argv=None):
                         np.sqrt(np.mean(yo[skip:-skip] ** 2)))
     print(f"native vs oracle: {rms:.1f} dB RMS (golden class <= -141)")
     assert rms <= -141.0
+
+    # 4) fully standalone path: the C++ designer inside libr8bt
+    #    (native/r8bt_design.cpp) — no Python design work, the exact
+    #    r8b_create(src, dst, maxlen, tb, res) workflow of the reference
+    #    DLL.  From C:  r8bt_create(44100, 96000, 2.0, 2 /* r8brr24 */)
+    eng2 = NativeResampler(src, dst, trans_band=2.0, atten=180.15,
+                           design="native")
+    y2 = eng2.oneshot(x, want)
+    d2 = y2 - np.concatenate([y])  # same engine class, same audio
+    print(f"native-designed vs python-designed: "
+          f"max |diff| {np.abs(d2).max():.2e}")
+    assert np.abs(d2).max() < 1e-12
     print("ok")
 
 

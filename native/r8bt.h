@@ -55,6 +55,28 @@ double r8bt_latency_frac(r8bt_handle h);
 /* Library version string. */
 const char *r8bt_version(void);
 
+/* ---- Standalone native designer (r8bt_design.cpp) ----------------------
+ * Design + create from sample rates alone, like the reference DLL's
+ * r8b_create (DLL/r8bsrc.h:68-71) — no Python, no plan blob needed.
+ * res follows ER8BResamplerRes (DLL/r8bsrc.h:38-43):
+ *   0 = 16-bit (ReqAtten 136.45), 1 = 16-bit IR (109.56),
+ *   2 = 24-bit / 32-bit float (180.15).
+ * Returns NULL on invalid parameters. */
+r8bt_handle r8bt_create(double src_rate, double dst_rate, double trans_band,
+                        int res);
+
+/* Fully-parameterized create: trans_band in [0.5, 45] (percent), atten in
+ * [49, 218] dB, phase 0 = linear, 1 = minimum. */
+r8bt_handle r8bt_create_ex(double src_rate, double dst_rate,
+                           double trans_band, double atten, int phase);
+
+/* Run the native designer and return the serialized plan blob (the same
+ * format r8bt_create_from_blob consumes).  Returns the blob size in bytes
+ * (copying it into buf when buf != NULL and buf_len suffices), or -1 on
+ * design failure.  Call once with buf = NULL to size the buffer. */
+long r8bt_design_blob(double src_rate, double dst_rate, double trans_band,
+                      double atten, int phase, void *buf, long buf_len);
+
 #ifdef __cplusplus
 }
 #endif

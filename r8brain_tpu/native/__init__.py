@@ -25,8 +25,8 @@ import numpy as np
 from ..models.plan import (ConvStage, FracStage, HBDownStage, HBUpStage,
                            Plan, make_plan)
 
-__all__ = ["build_plan_blob", "NativeResampler", "load_library",
-           "build_library"]
+__all__ = ["build_plan_blob", "native_design_blob", "NativeResampler",
+           "load_library", "build_library"]
 
 _NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
 _LIB_PATH = _NATIVE_DIR / "libr8bt.so"
@@ -67,8 +67,40 @@ def load_library(build_if_missing: bool = True) -> ctypes.CDLL:
     lib.r8bt_latency_frac.restype = ctypes.c_double
     lib.r8bt_latency_frac.argtypes = [ctypes.c_void_p]
     lib.r8bt_version.restype = ctypes.c_char_p
+    # Standalone native designer (native/r8bt_design.cpp)
+    lib.r8bt_create.restype = ctypes.c_void_p
+    lib.r8bt_create.argtypes = [ctypes.c_double, ctypes.c_double,
+                                ctypes.c_double, ctypes.c_int]
+    lib.r8bt_create_ex.restype = ctypes.c_void_p
+    lib.r8bt_create_ex.argtypes = [ctypes.c_double, ctypes.c_double,
+                                   ctypes.c_double, ctypes.c_double,
+                                   ctypes.c_int]
+    lib.r8bt_design_blob.restype = ctypes.c_long
+    lib.r8bt_design_blob.argtypes = [ctypes.c_double, ctypes.c_double,
+                                     ctypes.c_double, ctypes.c_double,
+                                     ctypes.c_int, ctypes.c_void_p,
+                                     ctypes.c_long]
     _lib = lib
     return lib
+
+
+def native_design_blob(src_rate: float, dst_rate: float,
+                       trans_band: float = 2.0, atten: float = 206.91,
+                       phase: int = 0) -> bytes:
+    """Run the NATIVE (C++) designer and return its serialized plan blob —
+    same format as build_plan_blob, designed without Python
+    (native/r8bt_design.cpp, r8bt_design_blob)."""
+    lib = load_library()
+    n = lib.r8bt_design_blob(src_rate, dst_rate, trans_band, atten, phase,
+                             None, 0)
+    if n < 0:
+        raise ValueError(
+            f"native designer rejected {src_rate}->{dst_rate} "
+            f"tb={trans_band} atten={atten} phase={phase}")
+    buf = ctypes.create_string_buffer(n)
+    lib.r8bt_design_blob(src_rate, dst_rate, trans_band, atten, phase,
+                         ctypes.cast(buf, ctypes.c_void_p), n)
+    return bytes(buf.raw)
 
 
 def build_plan_blob(plan: Plan) -> bytes:
@@ -110,14 +142,37 @@ def build_plan_blob(plan: Plan) -> bytes:
 
 
 class NativeResampler:
-    """Single-channel push-mode resampler over the native engine."""
+    """Single-channel push-mode resampler over the native engine.
+
+    design="python" (default) plans/designs the filter chain in the Python
+    design layer and ships it as a plan blob; design="native" runs the C++
+    designer inside libr8bt (r8bt_create_ex — the reference DLL's
+    r8b_create shape, DLL/r8bsrc.h:68-71) so no Python design work happens
+    at all (self.plan is None in that mode)."""
 
     def __init__(self, src_rate: float, dst_rate: float,
                  trans_band: float = 2.0, atten: float = 206.91,
-                 phase: int = 0, plan: Optional[Plan] = None):
+                 phase: int = 0, plan: Optional[Plan] = None,
+                 design: str = "python"):
+        self._src_rate = float(src_rate)
+        self._dst_rate = float(dst_rate)
+        self._lib = load_library()
+        if design == "native":
+            if plan is not None:
+                raise ValueError("plan= conflicts with design='native'")
+            self.plan = None
+            self._h = self._lib.r8bt_create_ex(
+                float(src_rate), float(dst_rate), float(trans_band),
+                float(atten), int(phase))
+            if not self._h:
+                raise ValueError(
+                    f"native designer rejected {src_rate}->{dst_rate} "
+                    f"tb={trans_band} atten={atten} phase={phase}")
+            return
+        if design != "python":
+            raise ValueError(f"unknown design mode {design!r}")
         self.plan = plan if plan is not None else make_plan(
             src_rate, dst_rate, trans_band, atten, phase)
-        self._lib = load_library()
         blob = build_plan_blob(self.plan)
         self._blob = blob  # keep alive
         self._h = self._lib.r8bt_create_from_blob(
@@ -158,7 +213,7 @@ class NativeResampler:
         x = np.asarray(x, dtype=np.float64)
         if out_len is None:
             out_len = int(np.floor(
-                x.shape[0] * self.plan.dst_rate / self.plan.src_rate))
+                x.shape[0] * self._dst_rate / self._src_rate))
         self.clear()
         out = []
         total = 0

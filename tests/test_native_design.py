@@ -1,0 +1,217 @@
+"""Native (C++) designer vs the Python design layer.
+
+native/r8bt_design.cpp reimplements the full designer + planner so the
+native engine can create resamplers from sample rates alone (the reference
+DLL's r8b_create shape, DLL/r8bsrc.h:68-71).  These tests hold the two
+designers to each other:
+
+  * linear-phase plans must agree exactly on every plan integer (stage
+    kinds, up/down/offset, steps, latencies) and to ~1 ulp on every
+    designed tap — the designers implement the same closed-form model
+    (CDSPFIRFilter.h:222-448) in f64, so only libm-vs-numpy rounding may
+    differ;
+  * minimum-phase plans carry the cepstral transform's documented
+    implementation skew (CDSPFIRFilter.h:40-46): taps within 2e-5,
+    latency_frac within 1e-4, and output within the library's golden
+    threshold;
+  * a natively-designed engine must produce the same audio as a
+    Python-designed one.
+
+Skipped when no C++ toolchain is available.
+"""
+
+import ctypes
+import shutil
+import struct
+
+import numpy as np
+import pytest
+
+from .helpers import lcg_uniform, rms_db
+
+pytestmark = pytest.mark.skipif(shutil.which("g++") is None,
+                                reason="no C++ toolchain")
+
+
+@pytest.fixture(scope="module")
+def lib():
+    from r8brain_tpu.native import build_library, load_library
+
+    build_library()
+    return load_library()
+
+
+def _parse_blob(blob):
+    """-> (header floats, [(kind, ints, taps array)])."""
+    off = 4
+    assert blob[:4] == b"R8BT"
+    (ver,) = struct.unpack_from("<I", blob, off)
+    off += 4
+    assert ver == 1
+    hdr = struct.unpack_from("<ddd", blob, off)
+    off += 24
+    (ns,) = struct.unpack_from("<I", blob, off)
+    off += 4
+    stages = []
+    for _ in range(ns):
+        (kind,) = struct.unpack_from("<I", blob, off)
+        off += 4
+        if kind == 0:
+            ints = struct.unpack_from("<qqqq", blob, off)
+            off += 32
+            n = ints[3]
+        elif kind in (1, 2):
+            ints = struct.unpack_from("<qq", blob, off)
+            off += 16
+            n = ints[0]
+        elif kind == 3:
+            ints = struct.unpack_from("<qqqqq", blob, off)
+            off += 40
+            n = ints[1] * ints[4]
+        else:
+            flo = struct.unpack_from("<ddd", blob, off)
+            off += 24
+            ints = struct.unpack_from("<qqqq", blob, off)
+            off += 32
+            n = ints[3] * ints[1] * 3
+            ints = tuple(round(v, 12) for v in flo) + ints
+        arr = np.frombuffer(blob, "<f8", n, off).copy()
+        off += 8 * n
+        stages.append((kind, ints, arr))
+    assert off == len(blob)
+    return hdr, stages
+
+
+LINEAR_CASES = [
+    ("flagship", 44100.0, 96000.0, 2.0, 180.15),
+    ("down", 96000.0, 44100.0, 2.0, 180.15),
+    ("cd_dat", 44100.0, 48000.0, 2.0, 180.15),
+    ("poly", 44100.0, 96001.0, 2.0, 180.15),
+    ("dsd", 2822400.0, 96000.0, 2.0, 180.15),
+    ("x2", 44100.0, 88200.0, 2.0, 136.45),
+    ("r16ir", 48000.0, 44100.0, 2.0, 109.56),
+    ("max_atten", 44100.0, 192000.0, 2.0, 206.91),
+    ("up_1p5", 32000.0, 48000.0, 2.0, 180.15),
+    ("interp_up", 8000.0, 44100.0, 5.0, 120.0),
+    ("deep_down", 384000.0, 44100.0, 2.0, 180.15),
+]
+
+
+def _native_blob(lib, src, dst, tb, atten, phase):
+    from r8brain_tpu.native import native_design_blob
+
+    return native_design_blob(src, dst, tb, atten, phase)
+
+
+@pytest.mark.parametrize("cfg", LINEAR_CASES, ids=[c[0] for c in LINEAR_CASES])
+def test_designer_parity_linear_phase(lib, cfg):
+    from r8brain_tpu.models.plan import make_plan
+    from r8brain_tpu.native import build_plan_blob
+
+    _label, src, dst, tb, atten = cfg
+    py_hdr, py_stages = _parse_blob(
+        build_plan_blob(make_plan(src, dst, tb, atten, 0)))
+    nat_hdr, nat_stages = _parse_blob(
+        _native_blob(lib, src, dst, tb, atten, 0))
+
+    assert py_hdr == nat_hdr  # src, dst, latency_frac bit-exact
+    assert len(py_stages) == len(nat_stages)
+    for (k1, i1, t1), (k2, i2, t2) in zip(py_stages, nat_stages):
+        assert k1 == k2
+        assert i1 == i2  # all plan integers exact
+        assert t1.shape == t2.shape
+        np.testing.assert_allclose(t1, t2, rtol=0, atol=1e-13)
+
+
+@pytest.mark.parametrize("cfg", [
+    ("mp_up", 44100.0, 96000.0, 2.0, 180.15),
+    ("mp_down", 96000.0, 44100.0, 2.0, 136.45),
+], ids=lambda c: c[0])
+def test_designer_parity_min_phase(lib, cfg):
+    from r8brain_tpu.models.plan import make_plan
+    from r8brain_tpu.native import build_plan_blob
+
+    _label, src, dst, tb, atten = cfg
+    py_hdr, py_stages = _parse_blob(
+        build_plan_blob(make_plan(src, dst, tb, atten, 1)))
+    nat_hdr, nat_stages = _parse_blob(
+        _native_blob(lib, src, dst, tb, atten, 1))
+
+    assert abs(py_hdr[2] - nat_hdr[2]) < 1e-4
+    assert len(py_stages) == len(nat_stages)
+    for (k1, _i1, t1), (k2, _i2, t2) in zip(py_stages, nat_stages):
+        assert k1 == k2
+        assert t1.shape == t2.shape
+        # cepstral-transform conditioning skew (same class as the Python
+        # designer's skew vs the compiled reference, tests/test_goldens.py)
+        assert np.abs(t1 - t2).max() < 2e-5
+
+
+def test_create_from_rates_end_to_end(lib):
+    """r8bt_create_ex engines emit the same audio as python-blob engines."""
+    from r8brain_tpu.native import NativeResampler
+
+    for src, dst, atten in ((44100, 96000, 180.15), (96000, 44100, 136.45),
+                            (44100, 96001, 160.0)):
+        nat = NativeResampler(src, dst, 2.0, atten, 0, design="native")
+        ref = NativeResampler(src, dst, 2.0, atten, 0)
+        x = lcg_uniform(11, 6000)
+        out_len = int(np.floor(6000 * dst / src))
+        y1 = nat.oneshot(x, out_len)
+        y2 = ref.oneshot(x, out_len)
+        assert y1.shape == y2.shape
+        assert rms_db(y1 - y2) < -250.0
+        for m in (1, 1000):
+            assert (nat.get_input_required_for_output(m)
+                    == ref.get_input_required_for_output(m))
+        assert abs(nat.latency_frac - ref.latency_frac) < 1e-12
+
+
+def test_create_presets_match_reference_enum(lib):
+    """r8bt_create res values follow ER8BResamplerRes (DLL/r8bsrc.h:38-43)."""
+    from r8brain_tpu.native import NativeResampler
+
+    h = lib.r8bt_create(44100.0, 96000.0, 2.0, 2)  # r8brr24
+    assert h
+    outp = ctypes.POINTER(ctypes.c_double)()
+    x = lcg_uniform(7, 4000)
+    got = []
+    n = lib.r8bt_process(
+        ctypes.c_void_p(h), x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        4000, ctypes.byref(outp))
+    assert n >= 0
+    if n:
+        got.append(np.ctypeslib.as_array(outp, shape=(n,)).copy())
+    lib.r8bt_delete(ctypes.c_void_p(h))
+
+    ref = NativeResampler(44100, 96000, 2.0, 180.15, 0)
+    y_ref = []
+    y = ref.process(x)
+    if y.size:
+        y_ref.append(y)
+    got = np.concatenate(got) if got else np.zeros(0)
+    y_ref = np.concatenate(y_ref) if y_ref else np.zeros(0)
+    m = min(got.size, y_ref.size)
+    assert m > 1000
+    assert rms_db(got[:m] - y_ref[:m]) < -250.0
+
+
+def test_create_rejects_invalid(lib):
+    assert lib.r8bt_create(44100.0, 96000.0, 2.0, 7) is None
+    assert lib.r8bt_create_ex(44100.0, 96000.0, 0.1, 180.15, 0) is None
+    assert lib.r8bt_create_ex(44100.0, 96000.0, 2.0, 500.0, 0) is None
+    assert lib.r8bt_create_ex(-1.0, 96000.0, 2.0, 180.15, 0) is None
+    assert lib.r8bt_create_ex(44100.0, 96000.0, 2.0, 180.15, 3) is None
+
+
+def test_native_tables_inc_in_sync():
+    """The committed r8bt_tables.inc must match the canonical _tables.py."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    r = subprocess.run(
+        [sys.executable, str(repo / "tools" / "gen_native_tables.py"),
+         "--check"], capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr
