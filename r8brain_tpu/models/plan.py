@@ -307,6 +307,11 @@ def make_plan(
     (CDSPResampler.h:117-394)."""
     if src_rate <= 0.0 or dst_rate <= 0.0:
         raise ValueError("sample rates must be positive")
+    if src_rate / dst_rate > 1e9 or dst_rate / src_rate > 1e9:
+        # Same cap the native blob parser and designer enforce; without it
+        # the 2^c stage loops run away (the failure surfaces as an opaque
+        # OverflowError deep in the decision tree).
+        raise ValueError("rate ratio beyond 1e9 is unsupported")
 
     stages: List[Stage] = []
     lf = 0.0  # running fractional latency (LatencyFrac)

@@ -204,6 +204,34 @@ def test_create_rejects_invalid(lib):
     assert lib.r8bt_create_ex(44100.0, 96000.0, 2.0, 180.15, 3) is None
 
 
+def test_native_designcheck_asan(lib):
+    """Designer robustness under ASan/UBSan: every planner branch via
+    random rate pairs, plus the hostile parameter space (NULL, no crash,
+    no leak) — native/designcheck.cpp."""
+    import subprocess
+    from pathlib import Path
+
+    nat = Path(__file__).resolve().parent.parent / "native"
+    r = subprocess.run(["make", "-C", str(nat), "designcheck_asan"],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    r = subprocess.run([str(nat / "designcheck_asan")], capture_output=True,
+                       text=True, timeout=300)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "engines ok" in r.stdout
+
+
+def test_plan_rejects_extreme_ratio():
+    """>1e9 rate ratios fail cleanly everywhere (planner ValueError, native
+    designer NULL) instead of overflowing the 2^c stage loops."""
+    from r8brain_tpu.models.plan import make_plan
+
+    with pytest.raises(ValueError, match="ratio"):
+        make_plan(1e-300, 1e300)
+    with pytest.raises(ValueError, match="ratio"):
+        make_plan(4.0e10, 1.0)
+
+
 def test_native_tables_inc_in_sync():
     """The committed r8bt_tables.inc must match the canonical _tables.py."""
     import subprocess
