@@ -1,6 +1,10 @@
 /* natbench — steady-state-only native engine bench (for profiling).
  *
- * usage: natbench blob n_samples [chunk_len] [threads]
+ * usage: natbench <blob | src:dst[:atten]> n_samples [chunk_len] [threads]
+ *
+ * The first argument is either a plan-blob path or a src:dst rate pair
+ * (optional :atten, default 180.15 dB) handed to the standalone native
+ * designer (r8bt_create_ex) — no Python needed for the latter.
  *
  * threads > 1 runs one independent engine per thread over the same blob
  * (the reference's one-object-per-channel concurrency model,
@@ -44,18 +48,26 @@ static double runOne(r8bt_handle h, const std::vector<double> &chunk,
 
 int main(int argc, char **argv) {
     if (argc < 3) {
-        std::fprintf(stderr, "usage: %s blob n [chunk_len] [threads]\n",
-                     argv[0]);
+        std::fprintf(stderr,
+                     "usage: %s <blob|src:dst[:atten]> n [chunk_len] "
+                     "[threads]\n", argv[0]);
         return 2;
     }
-    FILE *f = std::fopen(argv[1], "rb");
-    if (!f) return 2;
-    std::fseek(f, 0, SEEK_END);
-    long len = std::ftell(f);
-    std::fseek(f, 0, SEEK_SET);
-    std::vector<unsigned char> blob((size_t)len);
-    if (std::fread(blob.data(), 1, (size_t)len, f) != (size_t)len) return 2;
-    std::fclose(f);
+    double srcRate = 0.0, dstRate = 0.0, atten = 180.15;
+    const bool fromRates =
+        std::sscanf(argv[1], "%lf:%lf:%lf", &srcRate, &dstRate, &atten) >= 2;
+    std::vector<unsigned char> blob;
+    if (!fromRates) {
+        FILE *f = std::fopen(argv[1], "rb");
+        if (!f) return 2;
+        std::fseek(f, 0, SEEK_END);
+        long len = std::ftell(f);
+        std::fseek(f, 0, SEEK_SET);
+        blob.resize((size_t)len);
+        if (std::fread(blob.data(), 1, (size_t)len, f) != (size_t)len)
+            return 2;
+        std::fclose(f);
+    }
     long n = std::atol(argv[2]);
     long chunkLen = argc > 3 ? std::atol(argv[3]) : 8192;
     int nThreads = argc > 4 ? std::atoi(argv[4]) : 1;
@@ -63,7 +75,9 @@ int main(int argc, char **argv) {
 
     std::vector<r8bt_handle> hs((size_t)nThreads);
     for (int t = 0; t < nThreads; ++t) {
-        hs[(size_t)t] = r8bt_create_from_blob(blob.data(), blob.size());
+        hs[(size_t)t] = fromRates
+            ? r8bt_create_ex(srcRate, dstRate, 2.0, atten, 0)
+            : r8bt_create_from_blob(blob.data(), blob.size());
         if (!hs[(size_t)t]) return 1;
     }
     uint64_t s = 7;

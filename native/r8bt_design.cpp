@@ -710,6 +710,10 @@ bool makePlan(double srcRate, double dstRate, double transBand, double atten,
               int phase, NativePlan &plan) {
     if (!(srcRate > 0.0) || !(dstRate > 0.0)) return false;
     if (!std::isfinite(srcRate) || !std::isfinite(dstRate)) return false;
+    /* Same ratio cap the blob parser enforces (r8bt.cpp parseBlob): an
+     * unbounded ratio walks the 2^c loops past long range (UB) before any
+     * other validation can fire. */
+    if (srcRate / dstRate > 1e9 || dstRate / srcRate > 1e9) return false;
     plan.srcRate = srcRate;
     plan.dstRate = dstRate;
     double lf = 0.0;

@@ -3,7 +3,8 @@
 Usage:
     python -m r8brain_tpu.cli in.wav out.wav <dst_rate>
         [--tb 2.0] [--atten 180.15] [--phase lin|min]
-        [--bits 24] [--precision fast|high|oracle] [--platform auto|cpu]
+        [--bits 24] [--precision fast|high|oracle|native]
+        [--platform auto|cpu]
         [--bench]
 
 Channels are converted as one batched device call (the reference loops one
@@ -38,10 +39,12 @@ def main(argv=None):
                          "with --float: 32/64, default 32)")
     ap.add_argument("--float", action="store_true",
                     help="write IEEE float output (32-bit by default)")
-    ap.add_argument("--precision", choices=("fast", "high", "oracle"),
+    ap.add_argument("--precision",
+                    choices=("fast", "high", "oracle", "native"),
                     default="high",
                     help="fast=f32, high=f32+df32 convolver (-141 dB class), "
-                         "oracle=CPU float64 reference executor")
+                         "oracle=CPU float64 reference executor, "
+                         "native=C++ engine+designer (f64, no JAX)")
     ap.add_argument("--platform", choices=("auto", "cpu"), default="auto",
                     help="cpu forces the JAX CPU backend")
     ap.add_argument("--bench", action="store_true",
@@ -65,7 +68,7 @@ def main(argv=None):
                  f"--bits {args.bits} is PCM-only")
     elif not getattr(args, "float") and args.bits == 64:
         ap.error("--bits 64 requires --float (no 64-bit PCM)")
-    if args.stream and args.precision == "oracle":
+    if args.stream and args.precision in ("oracle", "native"):
         ap.error("--stream applies to the device paths only "
                  "(use --precision fast|high)")
 
@@ -89,6 +92,15 @@ def main(argv=None):
         y = np.stack([
             OracleResampler(src_rate, dst_rate, 4096, args.tb, args.atten,
                             phase).oneshot(c, out_len) for c in x])
+    elif args.precision == "native":
+        # C++ engine + C++ designer (one handle per channel, the
+        # reference's example.cpp loop) — no JAX in the path
+        from .native import NativeResampler
+
+        y = np.stack([
+            NativeResampler(src_rate, dst_rate, args.tb, args.atten,
+                            phase, design="native").oneshot(c, out_len)
+            for c in x])
     else:
         if args.platform == "cpu":
             import jax

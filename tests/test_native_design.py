@@ -221,6 +221,26 @@ def test_native_designcheck_asan(lib):
     assert "engines ok" in r.stdout
 
 
+def test_native_c_example(lib):
+    """examples/native_example.c: a plain-C host app against the standalone
+    engine (design + stream, no Python) must build with gcc and pass its
+    own sine sanity check — the reference example.cpp workflow."""
+    import subprocess
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    exe = "/tmp/r8bt_native_example_test"
+    r = subprocess.run(
+        ["gcc", "-O2", "-o", exe, str(repo / "examples" / "native_example.c"),
+         f"-L{repo / 'native'}", "-lr8bt",
+         f"-Wl,-rpath,{repo / 'native'}", "-lm"],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    r = subprocess.run([exe], capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "ok" in r.stdout
+
+
 def test_plan_rejects_extreme_ratio():
     """>1e9 rate ratios fail cleanly everywhere (planner ValueError, native
     designer NULL) instead of overflowing the 2^c stage loops."""

@@ -60,6 +60,37 @@ def test_cli_end_to_end(tmp_path):
     assert spur < -140.0
 
 
+def test_cli_native_precision(tmp_path):
+    """--precision native: the C++ engine + C++ designer path (no JAX).
+    Output must match the CPU oracle within the golden class."""
+    import shutil
+
+    if shutil.which("g++") is None:
+        pytest.skip("no C++ toolchain")
+    rate = 44100
+    n = 20000
+    x = 0.7 * np.sin(2 * np.pi * 1000.0 * np.arange(n) / rate)
+    inp = tmp_path / "in.wav"
+    out_nat = tmp_path / "nat.wav"
+    out_orc = tmp_path / "orc.wav"
+    write_wav(str(inp), rate, x[None], 24)
+    repo = str(Path(__file__).resolve().parent.parent)
+    for prec, outp in (("native", out_nat), ("oracle", out_orc)):
+        r = subprocess.run(
+            [sys.executable, "-m", "r8brain_tpu.cli", str(inp), str(outp),
+             "96000", "--precision", prec, "--float", "--bits", "32"],
+            capture_output=True, text=True, cwd=repo)
+        assert r.returncode == 0, r.stderr
+    wn = read_wav(str(out_nat))
+    wo = read_wav(str(out_orc))
+    assert wn.rate == 96000 and wn.data.shape == wo.data.shape
+    d = wn.data - wo.data
+    rms = 20 * np.log10(np.sqrt(np.mean(d * d)) /
+                        np.sqrt(np.mean(wo.data ** 2)) + 1e-300)
+    # f32 WAV quantization floor; the engines themselves agree to -280 dB
+    assert rms < -135.0
+
+
 def test_cli_stream_mode(tmp_path):
     """--stream converts through the push-mode engine (memory-bounded) and
     matches the oneshot conversion."""
