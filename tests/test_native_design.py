@@ -252,6 +252,39 @@ def test_plan_rejects_extreme_ratio():
         make_plan(4.0e10, 1.0)
 
 
+def test_designer_parity_wide_sweep(lib):
+    """Plan-integer parity over a wide ratio grid (the zerotest-style rate
+    matrix at three attens, 210 configs): every linear-phase plan must agree
+    with the Python designer on stage kinds and every plan integer, with
+    taps to 1e-12.  Catches planner-branch or latency-algebra divergence
+    the 13-config fast sweep can't."""
+    from r8brain_tpu.models.plan import make_plan
+    from r8brain_tpu.native import build_plan_blob
+
+    rates = (8000.0, 11025.0, 16000.0, 22050.0, 32000.0, 44100.0, 48000.0,
+             64000.0, 88200.0, 96000.0, 96001.0, 176400.0, 192000.0,
+             352800.0, 384000.0)
+    attens = (109.56, 150.0, 206.91)
+    n = 0
+    for i, src in enumerate(rates):
+        for dst in rates:
+            if src == dst:
+                continue
+            atten = attens[(i + n) % 3]
+            py_hdr, py_stages = _parse_blob(
+                build_plan_blob(make_plan(src, dst, 2.0, atten, 0)))
+            nat_hdr, nat_stages = _parse_blob(
+                _native_blob(lib, src, dst, 2.0, atten, 0))
+            assert py_hdr == nat_hdr, (src, dst, atten)
+            assert len(py_stages) == len(nat_stages), (src, dst, atten)
+            for (k1, i1, t1), (k2, i2, t2) in zip(py_stages, nat_stages):
+                assert k1 == k2 and i1 == i2, (src, dst, atten, i1, i2)
+                np.testing.assert_allclose(t1, t2, rtol=0, atol=1e-12,
+                                           err_msg=f"{src}->{dst}@{atten}")
+            n += 1
+    assert n == len(rates) * (len(rates) - 1)
+
+
 def test_native_tables_inc_in_sync():
     """The committed r8bt_tables.inc must match the canonical _tables.py."""
     import subprocess
