@@ -34,6 +34,38 @@ import time
 import numpy as np
 
 
+def _probe_backend(jax, timeout_s: float | None = None):
+    """Fail fast (non-zero exit, stderr diagnostic) when the remote-TPU
+    tunnel is down instead of hanging the caller: backend discovery runs
+    in a daemon thread with a bounded wait (R8B_BENCH_PROBE_S, 300 s
+    default).  On success the main thread reuses the initialized backend.
+    """
+    import threading
+
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("R8B_BENCH_PROBE_S", "300"))
+    result: list = []
+
+    def probe():
+        try:
+            result.append(jax.devices())
+        except Exception as e:  # noqa: BLE001 — report, don't hang
+            result.append(e)
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if not result:
+        print(f"bench.py: jax.devices() did not respond within "
+              f"{timeout_s:.0f}s — TPU tunnel down?", file=sys.stderr)
+        os._exit(1)  # the hung discovery thread can't be cancelled
+    if isinstance(result[0], Exception):
+        print(f"bench.py: backend init failed: {result[0]!r}",
+              file=sys.stderr)
+        sys.exit(1)
+    print(f"bench.py: devices {result[0]}", file=sys.stderr)
+
+
 def main():
     channels = int(os.environ.get("R8B_BENCH_CHANNELS", "1024"))
     seconds = float(os.environ.get("R8B_BENCH_SECONDS", "1.0"))
@@ -49,6 +81,14 @@ def main():
     fused = {"auto": "auto", "1": True, "0": False}[fused_env]
 
     import jax
+
+    # A sitecustomize on some hosts pins jax_platforms="axon,cpu" at the
+    # CONFIG level, which silently overrides the JAX_PLATFORMS env var —
+    # honor an explicit env request (e.g. JAX_PLATFORMS=cpu smoke runs).
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    _probe_backend(jax)
 
     from r8brain_tpu.utils.cache import enable_compilation_cache
 
