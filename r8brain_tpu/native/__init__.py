@@ -40,18 +40,37 @@ def build_library() -> Path:
     return _LIB_PATH
 
 
-def load_library(build_if_missing: bool = True) -> ctypes.CDLL:
-    global _lib
-    if _lib is not None:
-        return _lib
+def _locate_library(build_if_missing: bool) -> str:
+    """Resolve libr8bt.so: R8BT_LIB override, then the in-tree build
+    (compiling it on demand when the Makefile is present — repo layout),
+    then the system linker path (pip-installed layout, where the native
+    engine is deployed separately)."""
     # R8BT_LIB points at an alternate build (e.g. an AVX2-capped .so for
     # ISA A/B testing, or a system-installed deployment library); empty
     # value == unset
     override = os.environ.get("R8BT_LIB") or None
-    lib_path = Path(override) if override else _LIB_PATH
-    if override is None and not _LIB_PATH.exists() and build_if_missing:
+    if override:
+        return override
+    if _LIB_PATH.exists():
+        return str(_LIB_PATH)
+    if build_if_missing and (_NATIVE_DIR / "Makefile").exists():
         build_library()
-    lib = ctypes.CDLL(str(lib_path))
+        return str(_LIB_PATH)
+    import ctypes.util
+    found = ctypes.util.find_library("r8bt")
+    if found:
+        return found
+    raise OSError(
+        "libr8bt.so not found: set R8BT_LIB, build it with "
+        f"`make -C {_NATIVE_DIR}` (repo checkout), or install it on the "
+        "system linker path")
+
+
+def load_library(build_if_missing: bool = True) -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    lib = ctypes.CDLL(_locate_library(build_if_missing))
     lib.r8bt_create_from_blob.restype = ctypes.c_void_p
     lib.r8bt_create_from_blob.argtypes = [ctypes.c_void_p, ctypes.c_size_t]
     lib.r8bt_delete.argtypes = [ctypes.c_void_p]
