@@ -13,11 +13,14 @@ Public API:
   * OracleResampler — CPU float64 reference executor (models.oracle),
     sample-exact vs the C++ reference.
   * make_plan — stage planner (models.plan).
+  * resample_fn — pure functional transform for composition with the
+    user's own jit/vmap/grad/pjit programs (functional).
   * design.* — host-side filter design (sinc, lpfilter, minphase, halfband,
     fracbank).
 """
 
 from .design.lpfilter import LINEAR_PHASE, MIN_PHASE, build_lp_filter, get_lp_filter
+from .functional import resample_fn
 from .models.oracle import OracleResampler
 from .models.plan import Plan, make_plan
 from .models.resampler import (Resampler, Resampler16, Resampler16IR,
@@ -39,5 +42,6 @@ __all__ = [
     "Resampler16IR",
     "Resampler24",
     "StreamResampler",
+    "resample_fn",
     "__version__",
 ]
