@@ -15,7 +15,8 @@ ROOT = Path(__file__).resolve().parent.parent
     ("examples/sacd.py", "--cpu", "--seconds", "0.06"),
     ("examples/serving.py", "--cpu", "--channels", "8", "--blocks", "2"),
     ("examples/native_deploy.py",),
-], ids=["basic", "sacd", "serving", "native_deploy"])
+    ("examples/differentiable.py", "--cpu", "--iters", "200"),
+], ids=["basic", "sacd", "serving", "native_deploy", "differentiable"])
 def test_example_runs(args):
     r = subprocess.run([sys.executable, *args], capture_output=True,
                        text=True, cwd=str(ROOT), timeout=560)

@@ -103,3 +103,21 @@ def test_1d_input():
     assert y.ndim == 1
     ref = np.asarray(rs.oneshot(x))
     assert rms_db(np.asarray(y) - ref) < -120.0
+
+
+def test_pjit_channel_sharded():
+    # Channel sharding composes transparently: every stage is
+    # channel-independent, so jit with a ("ch",) in-sharding runs the
+    # program SPMD over the mesh with no collectives.  Per-shard matmul
+    # shapes change XLA's f32 accumulation order, so parity uses the
+    # same -125 dB budget as tests/test_sharding_f32.py.
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    devs = np.array(jax.devices()[:8])
+    mesh = Mesh(devs, ("ch",))
+    rs = r8b.Resampler(44100, 96000, atten=136.45)
+    x = _sig(8, 4410)
+    f = resample_fn(rs, 4410)
+    sh = NamedSharding(mesh, P("ch", None))
+    y_sh = np.asarray(jax.jit(f, in_shardings=sh, out_shardings=sh)(x))
+    y = np.asarray(jax.jit(f)(x))
+    assert rms_db(y_sh - y) < -125.0
