@@ -121,3 +121,34 @@ def test_pjit_channel_sharded():
     y_sh = np.asarray(jax.jit(f, in_shardings=sh, out_shardings=sh)(x))
     y = np.asarray(jax.jit(f)(x))
     assert rms_db(y_sh - y) < -125.0
+
+
+def test_pallas_chain_grads_via_xla_twin(monkeypatch):
+    # Pallas kernels have no autodiff rules; resample_fn wraps such chains
+    # in a custom_vjp whose backward runs an XLA twin (same plan/precision).
+    # The kernels themselves cannot run on CPU, so force the twin path on
+    # an XLA chain: forward must still be the ORIGINAL chain bit-for-bit,
+    # and gradients must match the plain differentiable chain.
+    import r8brain_tpu.functional as F
+    rs = r8b.Resampler(44100, 96000, atten=136.45, precision="high")
+    x = _sig(2, 4410, 5)
+    w = _sig(2, 9600, 6)
+    f_plain = resample_fn(rs, 4410)
+    monkeypatch.setattr(F, "_has_pallas", lambda execs: True)
+    f_twin = F.resample_fn(rs, 4410)
+    np.testing.assert_array_equal(np.asarray(f_twin(x)),
+                                  np.asarray(f_plain(x)))
+    loss_t = lambda xx: jnp.vdot(w, f_twin(xx)[:, :9600])
+    loss_p = lambda xx: jnp.vdot(w, f_plain(xx)[:, :9600])
+    g_t = np.asarray(jax.grad(loss_t)(x))
+    g_p = np.asarray(jax.grad(loss_p)(x))
+    assert rms_db(g_t - g_p) - rms_db(g_p) < -120.0  # relative dB
+
+
+def test_has_pallas_detection():
+    from r8brain_tpu.functional import _has_pallas
+    rs = r8b.Resampler(44100, 96000, atten=136.45)
+    assert not _has_pallas(rs.execs)
+    rs_p = r8b.Resampler(44100, 96000, atten=136.45, precision="high",
+                         fused=False, conv_engine="pallas_fft5")
+    assert _has_pallas(rs_p.execs)
