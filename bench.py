@@ -82,16 +82,11 @@ def main():
 
     import jax
 
-    # A sitecustomize on some hosts pins jax_platforms="axon,cpu" at the
-    # CONFIG level, which silently overrides the JAX_PLATFORMS env var —
-    # honor an explicit env request (e.g. JAX_PLATFORMS=cpu smoke runs).
-    if os.environ.get("JAX_PLATFORMS"):
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    from r8brain_tpu.utils.cache import (enable_compilation_cache,
+                                         honor_jax_platforms_env)
 
+    honor_jax_platforms_env()
     _probe_backend(jax)
-
-    from r8brain_tpu.utils.cache import enable_compilation_cache
-
     enable_compilation_cache()
     import jax.numpy as jnp  # noqa: F401
 

@@ -36,7 +36,6 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
-    import optax
 
     import r8brain_tpu as r8b
 
@@ -60,15 +59,21 @@ def main(argv=None):
         r = f(x) - y_obs
         return jnp.mean(r * r)
 
-    opt = optax.adam(3e-2)
+    # Minimal Adam (kept dependency-free; swap in optax.adam if you use it)
+    lr, b1, b2, eps = 3e-2, 0.9, 0.999, 1e-8
     x = jnp.zeros(n, jnp.float32)
-    state = opt.init(x)
+    state = (jnp.zeros_like(x), jnp.zeros_like(x), jnp.zeros((), jnp.int32))
 
     @jax.jit
     def step(x, state):
+        m, v, t = state
         l, g = jax.value_and_grad(loss)(x)
-        upd, state = opt.update(g, state)
-        return optax.apply_updates(x, upd), state, l
+        t = t + 1
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * g * g
+        mh = m / (1 - b1 ** t.astype(jnp.float32))
+        vh = v / (1 - b2 ** t.astype(jnp.float32))
+        return x - lr * mh / (jnp.sqrt(vh) + eps), (m, v, t), l
 
     for i in range(args.iters):
         x, state, l = step(x, state)

@@ -39,7 +39,7 @@ int main() {
     // hostile parameter space: must return NULL, never crash
     const double bad[] = {0.0, -1.0, 1e308, 1e-308, NAN, INFINITY};
     for (double a : bad) for (double b : bad) {
-        if (a == b && a > 0.0 && a < 1e309) continue;  // identity plan is valid
+        if (a == b && a > 0.0 && std::isfinite(a)) continue;  // identity plan is valid
         if (r8bt_create_ex(a, b, 2.0, 180.15, 0)) { printf("accepted bad rates %g %g\n", a, b); return 1; }
     }
     for (double tb : bad) if (r8bt_create_ex(44100, 96000, tb, 180.15, 0)) { printf("accepted bad tb %g\n", tb); return 1; }

@@ -112,10 +112,20 @@ void normalizeFir(std::vector<double> &p, double dcGain) {
 /* ---- plan-time FFT (design only; the streaming engine has its own) ------ */
 
 /* Twiddles are evaluated directly per index (no recurrence): the cepstral
- * min-phase transform takes log of stop-band magnitudes ~1e-9 of peak, so
- * accumulated twiddle error at the 1e-11 level visibly perturbs the
- * resulting phase; direct evaluation keeps this FFT at pocketfft-class
- * accuracy (validated <= 2e-6 taps vs numpy in tests/test_native_design.py). */
+ * min-phase transform takes log of stop-band magnitudes down to ~1e-11 of
+ * peak, so accumulated twiddle error visibly perturbs the resulting phase;
+ * direct evaluation keeps this FFT at pocketfft-class accuracy.  Cross-
+ * implementation min-phase tap skew still grows with attenuation because
+ * stop-band bins sink under the f64 FFT noise floor and log() of them is
+ * backend-dependent noise that the Hilbert step spreads into every tap —
+ * measured vs the Python designer (96k->44.1k tb=0.5): 4e-9 taps at atten
+ * 136, 3e-6 at 180, 2e-3 at 207, 8e-3 at 218; at atten >= ~200 even the
+ * DC-group-delay latency estimate randomizes (the compiled C++ reference
+ * disagrees with BOTH designers by 18 whole samples at atten 218, all
+ * pairs ~-38 dB RMS after alignment).  This is the reference's own
+ * documented min-phase precision limit (CDSPFIRFilter.h:40-46: "the skew
+ * happens purely at random"); each design still meets its attenuation
+ * spec individually.  Bounds are pinned in tests/test_native_design.py. */
 void fftInPlace(std::vector<std::complex<double>> &a, bool inverse) {
     const size_t n = a.size();
     for (size_t i = 1, j = 0; i < n; ++i) {

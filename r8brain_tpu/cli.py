@@ -94,13 +94,15 @@ def main(argv=None):
                             phase).oneshot(c, out_len) for c in x])
     elif args.precision == "native":
         # C++ engine + C++ designer (one handle per channel, the
-        # reference's example.cpp loop) — no JAX in the path
-        from .native import NativeResampler
+        # reference's example.cpp loop) — no JAX in the path; design
+        # runs ONCE and every channel engine shares the plan blob
+        from .native import NativeResampler, native_design_blob
 
+        blob = native_design_blob(src_rate, dst_rate, args.tb, args.atten,
+                                  phase)
         y = np.stack([
-            NativeResampler(src_rate, dst_rate, args.tb, args.atten,
-                            phase, design="native").oneshot(c, out_len)
-            for c in x])
+            NativeResampler(src_rate, dst_rate, blob=blob)
+            .oneshot(c, out_len) for c in x])
     else:
         if args.platform == "cpu":
             import jax

@@ -247,8 +247,10 @@ class WavReader:
                 tag = struct.unpack("<H", fmt[24:26])[0]
             if tag not in (_WAVE_FORMAT_PCM, _WAVE_FORMAT_IEEE_FLOAT):
                 raise ValueError(f"{path}: unsupported format tag {tag}")
-            if ch < 1 or rate < 1 or bits not in (16, 24, 32, 64) or (
-                    tag == _WAVE_FORMAT_IEEE_FLOAT and bits not in (32, 64)):
+            if ch < 1 or rate < 1 or (
+                    tag == _WAVE_FORMAT_IEEE_FLOAT and bits not in (32, 64)
+                    ) or (tag == _WAVE_FORMAT_PCM
+                          and bits not in (16, 24, 32)):
                 raise ValueError(
                     f"{path}: malformed fmt (channels={ch}, rate={rate}, "
                     f"bits={bits})")

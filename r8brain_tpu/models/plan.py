@@ -305,6 +305,8 @@ def make_plan(
 ) -> Plan:
     """Plan the stage chain for src_rate -> dst_rate conversion
     (CDSPResampler.h:117-394)."""
+    if not (math.isfinite(src_rate) and math.isfinite(dst_rate)):
+        raise ValueError("sample rates must be finite")
     if src_rate <= 0.0 or dst_rate <= 0.0:
         raise ValueError("sample rates must be positive")
     if src_rate / dst_rate > 1e9 or dst_rate / src_rate > 1e9:

@@ -172,10 +172,24 @@ class NativeResampler:
     def __init__(self, src_rate: float, dst_rate: float,
                  trans_band: float = 2.0, atten: float = 206.91,
                  phase: int = 0, plan: Optional[Plan] = None,
-                 design: str = "python"):
+                 design: str = "python", blob: Optional[bytes] = None):
         self._src_rate = float(src_rate)
         self._dst_rate = float(dst_rate)
         self._lib = load_library()
+        if blob is not None:
+            # One design, many engines: instantiate directly from a plan
+            # blob (build_plan_blob / native_design_blob) — the natbench
+            # pattern; avoids re-running the designer per channel.
+            if plan is not None:
+                raise ValueError("plan= conflicts with blob=")
+            self.plan = None
+            self._blob = blob  # keep alive
+            self._h = self._lib.r8bt_create_from_blob(
+                ctypes.cast(ctypes.c_char_p(blob), ctypes.c_void_p),
+                len(blob))
+            if not self._h:
+                raise RuntimeError("native engine rejected the plan blob")
+            return
         if design == "native":
             if plan is not None:
                 raise ValueError("plan= conflicts with design='native'")

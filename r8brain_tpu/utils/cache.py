@@ -13,6 +13,20 @@ from pathlib import Path
 _REPO_ROOT = Path(__file__).resolve().parent.parent.parent
 
 
+def honor_jax_platforms_env() -> None:
+    """Make an explicit JAX_PLATFORMS env request win.
+
+    A sitecustomize on some hosts pins jax_platforms="axon,cpu" at the
+    CONFIG level, which silently overrides the JAX_PLATFORMS env var — an
+    explicit env request (e.g. JAX_PLATFORMS=cpu for smoke runs or the
+    driver's virtual-mesh dryrun) must win, or backend init hangs on an
+    unreachable tunnel.  Shared by bench.py and __graft_entry__.py."""
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+
 def enable_compilation_cache(default_dir: str | None = None) -> None:
     import jax
 

@@ -11,9 +11,14 @@ designers to each other:
     (CDSPFIRFilter.h:222-448) in f64, so only libm-vs-numpy rounding may
     differ;
   * minimum-phase plans carry the cepstral transform's documented
-    implementation skew (CDSPFIRFilter.h:40-46): taps within 2e-5,
-    latency_frac within 1e-4, and output within the library's golden
-    threshold;
+    implementation skew (CDSPFIRFilter.h:40-46: "the skew happens purely
+    at random"): at preset attens (<= 180.15) taps within 2e-5 and
+    latency_frac within 1e-4; above ~atten 200 the stop-band bins sink
+    under the f64 FFT noise floor and the skew grows without bound in
+    the taps (measured 2e-3 at 207, 8e-3 at 218) while the *magnitude*
+    response and spec compliance survive — the high-atten test asserts
+    the invariants that actually hold there (structure exact, bounded
+    tap skew, lag-0 time alignment, bounded end-to-end deviation);
   * a natively-designed engine must produce the same audio as a
     Python-designed one.
 
@@ -145,6 +150,46 @@ def test_designer_parity_min_phase(lib, cfg):
         # cepstral-transform conditioning skew (same class as the Python
         # designer's skew vs the compiled reference, tests/test_goldens.py)
         assert np.abs(t1 - t2).max() < 2e-5
+
+
+@pytest.mark.parametrize("atten,tap_tol", [(206.91, 8e-3), (218.0, 4e-2)])
+def test_designer_min_phase_high_atten_skew_bounded(lib, atten, tap_tol):
+    """atten >= ~200 min-phase: stop-band bins sit below the f64 FFT noise
+    floor, so the cepstral transform's log() is backend-dependent noise and
+    cross-implementation tap parity is unattainable BY DESIGN — the compiled
+    C++ reference behaves the same across its own FFT backends and documents
+    it (CDSPFIRFilter.h:40-46).  Assert the invariants that DO hold: plan
+    structure exact, tap skew bounded (measured 2e-3 at 207 / 8e-3 at 218,
+    asserted with headroom), outputs time-aligned at lag 0 and deviating
+    within the skew class, magnitudes finite/sane."""
+    from r8brain_tpu.models.plan import make_plan
+    from r8brain_tpu.native import NativeResampler, build_plan_blob
+
+    py_hdr, py_stages = _parse_blob(
+        build_plan_blob(make_plan(96000.0, 44100.0, 0.5, atten, 1)))
+    nat_hdr, nat_stages = _parse_blob(
+        _native_blob(lib, 96000.0, 44100.0, 0.5, atten, 1))
+    assert abs(py_hdr[2] - nat_hdr[2]) < 5e-3  # latency_frac skew class
+    assert len(py_stages) == len(nat_stages)
+    for (k1, _i1, t1), (k2, _i2, t2) in zip(py_stages, nat_stages):
+        assert k1 == k2 and t1.shape == t2.shape
+        assert np.abs(t1 - t2).max() < tap_tol
+
+    # end to end: same audio up to the documented random skew, no time shift
+    nat = NativeResampler(96000, 44100, 0.5, atten, 1, design="native")
+    ref = NativeResampler(96000, 44100, 0.5, atten, 1)
+    x = lcg_uniform(3, 24000)
+    out_len = int(np.floor(24000 * 44100 / 96000))
+    y1 = nat.oneshot(x, out_len)
+    y2 = ref.oneshot(x, out_len)
+    sk = 2205
+    a, b = y1[sk:-sk], y2[sk:-sk]
+    lags = list(range(-4, 5))
+    cc = [float(np.dot(a[8:-8], b[8 + l:len(b) - 8 + l])) for l in lags]
+    assert lags[int(np.argmax(cc))] == 0
+    d = a - b
+    rel_db = 10 * np.log10(np.mean(d**2) / np.mean(b**2) + 1e-300)
+    assert rel_db < -30.0, rel_db  # measured -46 (207) / -37 (218)
 
 
 def test_create_from_rates_end_to_end(lib):

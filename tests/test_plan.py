@@ -123,3 +123,21 @@ class TestMaxOutLen:
         for i in range(20):
             y = orc.process(x[i * block : (i + 1) * block])
             assert len(y) <= bound, (i, len(y), bound)
+
+
+def test_make_plan_rejects_hostile_rates():
+    """Hostile/degenerate rates must fail with a clear ValueError, never an
+    OverflowError deep in the decision tree — mirrors the native designer's
+    std::isfinite + ratio-cap validation (native/r8bt_design.cpp)."""
+    import math
+
+    import pytest
+
+    from r8brain_tpu.models.plan import make_plan
+
+    for src, dst in [(0.0, 44100.0), (-1.0, 44100.0), (44100.0, 0.0),
+                     (44100.0, -2.0), (math.nan, 96000.0),
+                     (44100.0, math.nan), (math.inf, 96000.0),
+                     (44100.0, math.inf), (1e-300, 1e300), (1e300, 1e-300)]:
+        with pytest.raises(ValueError):
+            make_plan(src, dst)

@@ -196,6 +196,8 @@ class TestMalformedWav:
             "short_extensible": wav(struct.pack("<HHIIHH", 0xFFFE, 1,
                                                 44100, 0, 0, 16)),
             "zero_rate": wav(struct.pack("<HHIIHH", 1, 1, 0, 0, 0, 16)),
+            "pcm_64bit": wav(struct.pack("<HHIIHH", 1, 1, 44100, 0, 0,
+                                         64)),
         }
 
     def test_read_wav_rejects(self, tmp_path):
