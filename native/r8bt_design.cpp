@@ -111,22 +111,23 @@ void normalizeFir(std::vector<double> &p, double dcGain) {
 
 /* ---- plan-time FFT (design only; the streaming engine has its own) ------ */
 
-/* Twiddles are evaluated directly per index (no recurrence): the cepstral
- * min-phase transform takes log of stop-band magnitudes down to ~1e-11 of
- * peak, so accumulated twiddle error visibly perturbs the resulting phase;
- * direct evaluation keeps this FFT at pocketfft-class accuracy.  Cross-
- * implementation min-phase tap skew still grows with attenuation because
- * stop-band bins sink under the f64 FFT noise floor and log() of them is
- * backend-dependent noise that the Hilbert step spreads into every tap —
- * measured vs the Python designer (96k->44.1k tb=0.5): 4e-9 taps at atten
- * 136, 3e-6 at 180, 2e-3 at 207, 8e-3 at 218; at atten >= ~200 even the
- * DC-group-delay latency estimate randomizes (the compiled C++ reference
- * disagrees with BOTH designers by 18 whole samples at atten 218, all
- * pairs ~-38 dB RMS after alignment).  This is the reference's own
- * documented min-phase precision limit (CDSPFIRFilter.h:40-46: "the skew
- * happens purely at random"); each design still meets its attenuation
- * spec individually.  Bounds are pinned in tests/test_native_design.py. */
-void fftInPlace(std::vector<std::complex<double>> &a, bool inverse) {
+/* Twiddles are evaluated directly per index (no recurrence) at the
+ * template precision.  The cepstral min-phase transform takes log of
+ * stop-band magnitudes down to ~1e-11 of peak — only ~100x above the f64
+ * FFT noise floor — so in double the log() of those bins is backend-
+ * dependent noise that the Hilbert step spreads into every tap: measured
+ * between two f64 implementations (96k->44.1k tb=0.5), 2e-3 taps at atten
+ * 207 and 8e-3 at 218, with even the DC-group-delay LATENCY estimate
+ * randomizing (the compiled C++ reference disagreed by 18 whole samples
+ * at atten 218 — its own documented limit, CDSPFIRFilter.h:40-46: "the
+ * skew happens purely at random").  minPhaseTransform therefore runs in
+ * long double (eps 1.08e-19, ~1000x below the deepest stop band),
+ * mirroring design/ldfft.py: designer parity becomes 8e-6 taps / exact
+ * plan integers / -83 dB end-to-end at atten 218, limited by f64
+ * kernel-design rounding, not the transform.  Pinned in
+ * tests/test_native_design.py. */
+template <typename T>
+void fftInPlace(std::vector<std::complex<T>> &a, bool inverse) {
     const size_t n = a.size();
     for (size_t i = 1, j = 0; i < n; ++i) {
         size_t bit = n >> 1;
@@ -134,26 +135,28 @@ void fftInPlace(std::vector<std::complex<double>> &a, bool inverse) {
         j ^= bit;
         if (i < j) std::swap(a[i], a[j]);
     }
-    std::vector<std::complex<double>> tw(n / 2);
-    const double sgn = inverse ? 2.0 : -2.0;
+    /* T-precision pi so long-double twiddles are accurate past f64 */
+    const T piT = (T)3.14159265358979323846264338327950288L;
+    std::vector<std::complex<T>> tw(n / 2);
+    const T sgn = inverse ? (T)2.0 : (T)-2.0;
     for (size_t k = 0; k < n / 2; ++k) {
-        const double ang = sgn * kPi * (double)k / (double)n;
-        tw[k] = std::complex<double>(std::cos(ang), std::sin(ang));
+        const T ang = sgn * piT * (T)k / (T)n;
+        tw[k] = std::complex<T>(std::cos(ang), std::sin(ang));
     }
     for (size_t len = 2; len <= n; len <<= 1) {
         const size_t stride = n / len;
         for (size_t i = 0; i < n; i += len) {
             for (size_t k = 0; k < len / 2; ++k) {
-                const std::complex<double> u = a[i + k];
-                const std::complex<double> v = a[i + k + len / 2]
-                                               * tw[k * stride];
+                const std::complex<T> u = a[i + k];
+                const std::complex<T> v = a[i + k + len / 2]
+                                          * tw[k * stride];
                 a[i + k] = u + v;
                 a[i + k + len / 2] = u - v;
             }
         }
     }
     if (inverse) {
-        for (auto &v : a) v /= (double)n;
+        for (auto &v : a) v /= (T)n;
     }
 }
 
@@ -217,44 +220,51 @@ std::vector<double> genFracKernel(double len2, double fd, double betaRaw,
 
 std::vector<double> minPhaseTransform(const std::vector<double> &kernel,
                                       int lenMult, double &dcGroupDelay) {
+    /* Long-double cepstral transform (mirrors design/minphase.py +
+     * design/ldfft.py): the f64 version's stop-band log() is noise at
+     * high atten and skews the result at random (CDSPFIRFilter.h:40-46);
+     * 80-bit extended precision drops the FFT noise ~1000x below the
+     * deepest supported stop band, making the design reproducible across
+     * the Python and native designers. */
+    typedef long double ld;
     const size_t kernelLen = kernel.size();
     int lenBits = 1;
     while (((size_t)1 << lenBits) < kernelLen * (size_t)lenMult) ++lenBits;
     const size_t n = (size_t)1 << lenBits;
     const size_t n2 = n >> 1;
+    const ld tiny = 1e-4000L; /* same bias as the Python transform */
 
-    std::vector<std::complex<double>> buf(n, 0.0);
-    for (size_t i = 0; i < kernelLen; ++i) buf[i] = kernel[i];
+    std::vector<std::complex<ld>> buf(n, (ld)0.0);
+    for (size_t i = 0; i < kernelLen; ++i) buf[i] = (ld)kernel[i];
     fftInPlace(buf, false);
 
-    std::vector<double> mag(n2 + 1), logmag(n2 + 1);
+    std::vector<ld> mag(n2 + 1), logmag(n2 + 1);
     for (size_t i = 0; i <= n2; ++i) mag[i] = std::abs(buf[i]);
-    const double dcVal = buf[0].real();
-    const double nyqVal = buf[n2].real();
-    for (size_t i = 0; i <= n2; ++i) logmag[i] = std::log(mag[i] + 1e-300);
-    logmag[0] = std::log(std::fabs(dcVal) + 1e-300);
-    logmag[n2] = std::log(std::fabs(nyqVal) + 1e-300);
+    const ld dcVal = buf[0].real();
+    const ld nyqVal = buf[n2].real();
+    for (size_t i = 0; i <= n2; ++i) logmag[i] = std::log(mag[i] + tiny);
+    logmag[0] = std::log(std::fabs(dcVal) + tiny);
+    logmag[n2] = std::log(std::fabs(nyqVal) + tiny);
 
     /* cep = irfft(logmag): even-symmetric real spectrum -> real cepstrum */
-    std::vector<std::complex<double>> spec(n);
+    std::vector<std::complex<ld>> spec(n);
     for (size_t i = 0; i <= n2; ++i) spec[i] = logmag[i];
     for (size_t i = 1; i < n2; ++i) spec[n - i] = logmag[i];
     fftInPlace(spec, true);
 
     /* discrete Hilbert window (CDSPRealFFT.h:737-749) */
-    std::vector<std::complex<double>> cep(n);
-    cep[0] = 0.0;
+    std::vector<std::complex<ld>> cep(n);
+    cep[0] = (ld)0.0;
     for (size_t i = 1; i < n2; ++i) cep[i] = spec[i].real();
-    cep[n2] = 0.0;
+    cep[n2] = (ld)0.0;
     for (size_t i = n2 + 1; i < n; ++i) cep[i] = -spec[i].real();
 
     fftInPlace(cep, false); /* theta = imag part at bins 0..n2 */
 
-    std::vector<std::complex<double>> outSpec(n);
+    std::vector<std::complex<ld>> outSpec(n);
     for (size_t i = 0; i <= n2; ++i) {
-        const double th = cep[i].imag();
-        outSpec[i] = mag[i] * std::complex<double>(std::cos(th),
-                                                   std::sin(th));
+        const ld th = cep[i].imag();
+        outSpec[i] = mag[i] * std::complex<ld>(std::cos(th), std::sin(th));
     }
     outSpec[0] = dcVal;
     outSpec[n2] = nyqVal;
@@ -262,7 +272,8 @@ std::vector<double> minPhaseTransform(const std::vector<double> &kernel,
     fftInPlace(outSpec, true);
 
     std::vector<double> out(kernelLen);
-    for (size_t i = 0; i < kernelLen; ++i) out[i] = outSpec[i].real();
+    for (size_t i = 0; i < kernelLen; ++i)
+        out[i] = (double)outSpec[i].real();
     dcGroupDelay = firGroupDelay(out, 0.0);
     return out;
 }

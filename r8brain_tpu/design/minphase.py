@@ -2,9 +2,20 @@
 
 TPU-native counterpart of calcMinPhaseTransform (reference:
 CDSPRealFFT.h:681-785; algorithm per Damera-Venkata et al., cited at
-CDSPRealFFT.h:663).  Runs host-side in float64 — the reference itself notes
-the transform requires 64-bit FFT precision (CDSPFIRFilter.h:44-46), and it
-happens once at plan time.
+CDSPRealFFT.h:663).  Runs host-side once at plan time.
+
+Precision: the reference runs this in float64 and documents that the result
+then skews "purely at random" (CDSPFIRFilter.h:40-46) — at high attenuation
+the stop-band magnitude sits only ~100x above the f64 FFT noise floor, so
+log() of those bins is implementation-dependent noise that the Hilbert step
+spreads into every tap (measured: two f64 FFT backends give taps apart 8e-3
+and LATENCY estimates apart 18 samples at atten 218).  This implementation
+improves on that: where the platform has true extended-precision long
+double (x86: eps 1.08e-19), all four FFTs run in long double
+(design/ldfft.py), dropping the noise ~1000x below the deepest supported
+stop-band — min-phase designs become reproducible across implementations
+(the native designer mirrors this, native/r8bt_design.cpp).  Elsewhere it
+falls back to the reference-equivalent f64 numpy FFT.
 
 Algorithm:
   1. zero-pad kernel to Len = 2^ceil(log2(kernel_len * len_mult)),
@@ -53,22 +64,43 @@ def min_phase_transform(
     n = 1 << len_bits
     n2 = n >> 1
 
-    buf = np.zeros(n, dtype=np.float64)
+    from .ldfft import HAVE_LONGDOUBLE, fft_ld
+
+    if HAVE_LONGDOUBLE:
+        real_t, tiny = np.longdouble, np.longdouble("1e-4000")
+
+        def rfft(x):
+            return fft_ld(x)[: n2 + 1]
+
+        def irfft_half(X_half):
+            full = np.zeros(n, dtype=np.clongdouble)
+            full[: n2 + 1] = X_half
+            full[n2 + 1 :] = np.conj(X_half[1:n2][::-1])
+            return fft_ld(full, inverse=True).real
+    else:  # reference-equivalent f64 fallback
+        real_t, tiny = np.float64, 1e-300
+        rfft = np.fft.rfft
+
+        def irfft_half(X_half):
+            return np.fft.irfft(X_half, n)
+
+    buf = np.zeros(n, dtype=real_t)
     buf[:kernel_len] = kernel
 
-    spec = np.fft.rfft(buf)  # length n2+1
+    spec = rfft(buf)  # length n2+1
     mag = np.abs(spec)
 
     # Save signed DC / Nyquist values (CDSPRealFFT.h:716-719).
     dc_val = spec[0].real
     nyq_val = spec[n2].real
 
-    logmag = np.log(mag + 1e-300)
-    logmag[0] = math.log(abs(dc_val) + 1e-300)
-    logmag[n2] = math.log(abs(nyq_val) + 1e-300)
+    logmag = np.log(mag + tiny)
+    logmag[0] = np.log(np.abs(dc_val) + tiny)
+    logmag[n2] = np.log(np.abs(nyq_val) + tiny)
 
     # Real cepstrum of the log-magnitude (even) spectrum.
-    cep = np.fft.irfft(logmag, n)
+    cep = irfft_half(logmag.astype(np.clongdouble) if HAVE_LONGDOUBLE
+                     else logmag)
 
     # Discrete Hilbert windowing (CDSPRealFFT.h:737-749).
     cep[0] = 0.0
@@ -77,12 +109,12 @@ def min_phase_transform(
 
     # Forward transform gives i*theta at each bin (odd real input ->
     # pure imaginary spectrum).
-    theta = np.fft.rfft(cep).imag
+    theta = rfft(cep).imag
 
     out_spec = mag * (np.cos(theta) + 1j * np.sin(theta))
     out_spec[0] = dc_val
     out_spec[n2] = nyq_val
 
-    out = np.fft.irfft(out_spec, n)[:kernel_len].copy()
+    out = np.asarray(irfft_half(out_spec)[:kernel_len], dtype=np.float64)
     dc_group_delay = calc_fir_group_delay(out, 0.0)
     return out, dc_group_delay

@@ -170,3 +170,38 @@ def test_whole_stepping():
     assert get_whole_stepping(44100.0, 44100.0 * math.pi) is None
     # OutStep > 1500 rejected
     assert get_whole_stepping(44100.0, 44101.0) is None
+
+
+class TestLdFFT:
+    """Extended-precision FFT backing the min-phase transform
+    (design/ldfft.py) — correctness vs numpy and the precision claim."""
+
+    def test_matches_numpy_fft(self):
+        from r8brain_tpu.design.ldfft import fft_ld
+
+        rng = np.random.default_rng(1)
+        for n in (4, 64, 1024):
+            x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+            got = np.asarray(fft_ld(x), dtype=np.complex128)
+            ref = np.fft.fft(x)
+            assert np.abs(got - ref).max() < 1e-13 * np.abs(ref).max()
+            back = np.asarray(fft_ld(ref, inverse=True),
+                              dtype=np.complex128)
+            assert np.abs(back - x).max() < 1e-13
+
+    def test_extended_precision_roundtrip(self):
+        # the whole point: roundtrip noise must be far below f64 eps
+        from r8brain_tpu.design.ldfft import HAVE_LONGDOUBLE, fft_ld
+
+        if not HAVE_LONGDOUBLE:
+            pytest.skip("platform long double is f64")
+        rng = np.random.default_rng(2)
+        x = rng.standard_normal(4096)
+        xr = fft_ld(fft_ld(x), inverse=True)
+        assert float(np.abs(xr.real - x).max()) < 1e-17
+
+    def test_rejects_non_pow2(self):
+        from r8brain_tpu.design.ldfft import fft_ld
+
+        with pytest.raises(ValueError):
+            fft_ld(np.zeros(12))

@@ -10,15 +10,13 @@ designers to each other:
     designed tap — the designers implement the same closed-form model
     (CDSPFIRFilter.h:222-448) in f64, so only libm-vs-numpy rounding may
     differ;
-  * minimum-phase plans carry the cepstral transform's documented
-    implementation skew (CDSPFIRFilter.h:40-46: "the skew happens purely
-    at random"): at preset attens (<= 180.15) taps within 2e-5 and
-    latency_frac within 1e-4; above ~atten 200 the stop-band bins sink
-    under the f64 FFT noise floor and the skew grows without bound in
-    the taps (measured 2e-3 at 207, 8e-3 at 218) while the *magnitude*
-    response and spec compliance survive — the high-atten test asserts
-    the invariants that actually hold there (structure exact, bounded
-    tap skew, lag-0 time alignment, bounded end-to-end deviation);
+  * minimum-phase plans: both designers run the cepstral transform in
+    80-bit long double (design/ldfft.py; native minPhaseTransform), a
+    designed improvement over the reference, whose f64 transform skews
+    "purely at random" at high atten (CDSPFIRFilter.h:40-46) — so plans
+    stay reproducible at EVERY supported atten: plan integers exact,
+    taps within the f64 kernel-design parity floor (measured 1.8e-7 at
+    atten 180, 8e-6 at 218), outputs within -70 dB at lag 0;
   * a natively-designed engine must produce the same audio as a
     Python-designed one.
 
@@ -152,16 +150,19 @@ def test_designer_parity_min_phase(lib, cfg):
         assert np.abs(t1 - t2).max() < 2e-5
 
 
-@pytest.mark.parametrize("atten,tap_tol", [(206.91, 8e-3), (218.0, 4e-2)])
-def test_designer_min_phase_high_atten_skew_bounded(lib, atten, tap_tol):
-    """atten >= ~200 min-phase: stop-band bins sit below the f64 FFT noise
-    floor, so the cepstral transform's log() is backend-dependent noise and
-    cross-implementation tap parity is unattainable BY DESIGN — the compiled
-    C++ reference behaves the same across its own FFT backends and documents
-    it (CDSPFIRFilter.h:40-46).  Assert the invariants that DO hold: plan
-    structure exact, tap skew bounded (measured 2e-3 at 207 / 8e-3 at 218,
-    asserted with headroom), outputs time-aligned at lag 0 and deviating
-    within the skew class, magnitudes finite/sane."""
+@pytest.mark.parametrize("atten", [206.91, 218.0])
+def test_designer_min_phase_high_atten_reproducible(lib, atten):
+    """atten >= ~200 min-phase: in float64 the stop-band bins sit below the
+    FFT noise floor, the cepstral transform's log() is backend-dependent
+    noise, and the result skews "purely at random" — the reference documents
+    this as an intrinsic limit (CDSPFIRFilter.h:40-46; measured: two f64
+    implementations were 8e-3 taps and 18 LATENCY samples apart at atten
+    218).  This framework fixes it by design: both designers run the
+    transform in 80-bit long double (design/ldfft.py,
+    native/r8bt_design.cpp minPhaseTransform), so min-phase plans stay
+    reproducible to the f64 kernel-design parity floor at every supported
+    atten — plan integers exact, taps within ~1e-5, outputs within -70 dB
+    at lag 0 (measured 8e-6 taps / -83 dB at atten 218)."""
     from r8brain_tpu.models.plan import make_plan
     from r8brain_tpu.native import NativeResampler, build_plan_blob
 
@@ -169,13 +170,13 @@ def test_designer_min_phase_high_atten_skew_bounded(lib, atten, tap_tol):
         build_plan_blob(make_plan(96000.0, 44100.0, 0.5, atten, 1)))
     nat_hdr, nat_stages = _parse_blob(
         _native_blob(lib, 96000.0, 44100.0, 0.5, atten, 1))
-    assert abs(py_hdr[2] - nat_hdr[2]) < 5e-3  # latency_frac skew class
+    assert abs(py_hdr[2] - nat_hdr[2]) < 1e-3
     assert len(py_stages) == len(nat_stages)
-    for (k1, _i1, t1), (k2, _i2, t2) in zip(py_stages, nat_stages):
-        assert k1 == k2 and t1.shape == t2.shape
-        assert np.abs(t1 - t2).max() < tap_tol
+    for (k1, i1, t1), (k2, i2, t2) in zip(py_stages, nat_stages):
+        assert k1 == k2 and i1 == i2 and t1.shape == t2.shape
+        assert np.abs(t1 - t2).max() < 1e-4
 
-    # end to end: same audio up to the documented random skew, no time shift
+    # end to end: same audio at the kernel-parity floor, no time shift
     nat = NativeResampler(96000, 44100, 0.5, atten, 1, design="native")
     ref = NativeResampler(96000, 44100, 0.5, atten, 1)
     x = lcg_uniform(3, 24000)
@@ -189,7 +190,7 @@ def test_designer_min_phase_high_atten_skew_bounded(lib, atten, tap_tol):
     assert lags[int(np.argmax(cc))] == 0
     d = a - b
     rel_db = 10 * np.log10(np.mean(d**2) / np.mean(b**2) + 1e-300)
-    assert rel_db < -30.0, rel_db  # measured -46 (207) / -37 (218)
+    assert rel_db < -70.0, rel_db  # measured -85 (207) / -83 (218)
 
 
 def test_create_from_rates_end_to_end(lib):
