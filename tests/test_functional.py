@@ -152,3 +152,19 @@ def test_has_pallas_detection():
     rs_p = r8b.Resampler(44100, 96000, atten=136.45, precision="high",
                          fused=False, conv_engine="pallas_fft5")
     assert _has_pallas(rs_p.execs)
+
+
+def test_grad_through_poly_mode():
+    # The polynomial-interpolator branch (irrational ratio) must
+    # differentiate too: its gathers/polynomial evaluation are plain XLA.
+    rs = r8b.Resampler(44100, 96001, atten=109.56)
+    n = 2048
+    f = resample_fn(rs, n)
+    x = _sig(1, n, 7)
+    m = rs.default_out_len(n)
+    w = _sig(1, m, 8)
+    g = np.asarray(jax.grad(lambda xx: jnp.vdot(w, f(xx)))(x))
+    assert g.shape == x.shape and np.isfinite(g).all()
+    lhs = float(np.vdot(w, np.asarray(f(x))))
+    rhs = float(np.vdot(g, x))
+    assert abs(lhs - rhs) <= 1e-4 * max(1.0, abs(lhs))
