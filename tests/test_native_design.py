@@ -342,3 +342,37 @@ def test_native_tables_inc_in_sync():
         [sys.executable, str(repo / "tools" / "gen_native_tables.py"),
          "--check"], capture_output=True, text=True)
     assert r.returncode == 0, r.stdout + r.stderr
+
+
+@pytest.mark.slow
+def test_designer_parity_min_phase_wide_sweep(lib):
+    """Min-phase designer parity over the rate matrix at attens spanning the
+    full supported range INCLUDING the high-atten regime that is random in
+    the reference's f64 transform (CDSPFIRFilter.h:40-46) — certifies the
+    long-double cepstral transform (design/ldfft.py / native
+    minPhaseTransform) keeps plans reproducible everywhere: stage kinds and
+    plan integers exact, taps within 1e-4, latency_frac within 1e-3."""
+    from r8brain_tpu.models.plan import make_plan
+    from r8brain_tpu.native import build_plan_blob
+
+    rates = (22050.0, 32000.0, 44100.0, 48000.0, 88200.0, 96000.0,
+             192000.0)
+    attens = (109.56, 150.0, 180.15, 206.91, 218.0)
+    n = 0
+    for i, src in enumerate(rates):
+        for dst in rates:
+            if src == dst:
+                continue
+            atten = attens[(i + n) % len(attens)]
+            py_hdr, py_stages = _parse_blob(
+                build_plan_blob(make_plan(src, dst, 2.0, atten, 1)))
+            nat_hdr, nat_stages = _parse_blob(
+                _native_blob(lib, src, dst, 2.0, atten, 1))
+            assert abs(py_hdr[2] - nat_hdr[2]) < 1e-3, (src, dst, atten)
+            assert len(py_stages) == len(nat_stages), (src, dst, atten)
+            for (k1, i1, t1), (k2, i2, t2) in zip(py_stages, nat_stages):
+                assert k1 == k2 and i1 == i2, (src, dst, atten, i1, i2)
+                assert t1.shape == t2.shape
+                assert np.abs(t1 - t2).max() < 1e-4, (src, dst, atten)
+            n += 1
+    assert n == len(rates) * (len(rates) - 1)
