@@ -10,6 +10,7 @@ Ryzen 3700X core with the default Ooura FFT (README.md:111-116).
 
 Env knobs (defaults in parens):
   R8B_BENCH_CHANNELS (1024)   R8B_BENCH_SECONDS (1.0)  R8B_BENCH_ITERS (10)
+  R8B_BENCH_REPEATS (3)       — best-of-N repeats of the timed block
   R8B_BENCH_DTYPE (float32)   R8B_BENCH_PRECISION (fast)
   R8B_BENCH_SRC (44100)       R8B_BENCH_DST (96000)
   R8B_BENCH_ATTEN (180.15)    R8B_BENCH_TB (2.0)
@@ -66,6 +67,12 @@ def _probe_backend(jax, timeout_s: float | None = None):
     print(f"bench.py: devices {result[0]}", file=sys.stderr)
 
 
+def _timed(run, x0, n) -> float:
+    t0 = time.perf_counter()
+    float(run(x0, n))
+    return time.perf_counter() - t0
+
+
 def main():
     channels = int(os.environ.get("R8B_BENCH_CHANNELS", "1024"))
     seconds = float(os.environ.get("R8B_BENCH_SECONDS", "1.0"))
@@ -111,14 +118,18 @@ def main():
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
+    repeats = int(os.environ.get("R8B_BENCH_REPEATS", "3"))
     float(run(x0, 1))  # compile + warmup
-    t1 = time.perf_counter()
-    float(run(x0, 1))
-    t_one = time.perf_counter() - t1  # dispatch + 1 iter
-
-    t0 = time.perf_counter()
-    acc = float(run(x0, iters + 1))
-    t_many = time.perf_counter() - t0  # dispatch + (iters+1) iters
+    # best-of-repeats: the remote chip is shared and the tunnel adds
+    # variable latency; the minimum is the least-interfered steady state
+    # (same convention as the reference bench's manual best-of-N runs)
+    t_one = min(_timed(run, x0, 1) for _ in range(repeats))
+    acc, t_many = np.nan, np.inf
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        a = float(run(x0, iters + 1))
+        t_many = min(t_many, time.perf_counter() - t0)
+        acc = a
     dt = (t_many - t_one) / iters  # pure per-iteration device time
     assert np.isfinite(acc)
 
