@@ -118,7 +118,7 @@ def main():
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    repeats = int(os.environ.get("R8B_BENCH_REPEATS", "3"))
+    repeats = max(1, int(os.environ.get("R8B_BENCH_REPEATS", "3")))
     float(run(x0, 1))  # compile + warmup
     # best-of-repeats: the remote chip is shared and the tunnel adds
     # variable latency; the minimum is the least-interfered steady state

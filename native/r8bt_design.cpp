@@ -32,6 +32,7 @@
 #include <complex>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <string>
 #include <vector>
 
@@ -232,7 +233,11 @@ std::vector<double> minPhaseTransform(const std::vector<double> &kernel,
     while (((size_t)1 << lenBits) < kernelLen * (size_t)lenMult) ++lenBits;
     const size_t n = (size_t)1 << lenBits;
     const size_t n2 = n >> 1;
-    const ld tiny = 1e-4000L; /* same bias as the Python transform */
+    /* log(0) guard: smallest normal long double (x86 80-bit ~3.36e-4932).
+       A 1e-4000L literal truncates to 0 where long double is 64-bit
+       (MSVC/ARM), losing the guard; numeric_limits matches the Python
+       transform's np.finfo(np.longdouble).tiny on the same ABI. */
+    const ld tiny = std::numeric_limits<ld>::min();
 
     std::vector<std::complex<ld>> buf(n, (ld)0.0);
     for (size_t i = 0; i < kernelLen; ++i) buf[i] = (ld)kernel[i];

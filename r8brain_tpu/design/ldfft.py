@@ -51,7 +51,7 @@ def fft_ld(a: np.ndarray, inverse: bool = False) -> np.ndarray:
     n = a.size
     if n & (n - 1) or n == 0:
         raise ValueError(f"size must be a power of two, got {n}")
-    a = a[_bit_reverse_idx(n)].copy()
+    a = a[_bit_reverse_idx(n)]  # fancy indexing already yields a fresh array
     sign = 1.0 if inverse else -1.0
     m = 1
     while m < n:

@@ -19,7 +19,8 @@ falls back to the reference-equivalent f64 numpy FFT.
 
 Algorithm:
   1. zero-pad kernel to Len = 2^ceil(log2(kernel_len * len_mult)),
-  2. log-magnitude spectrum (biased by 1e-300 against log(0)),
+  2. log-magnitude spectrum (biased by the dtype's smallest normal
+     against log(0)),
   3. inverse FFT -> real cepstrum,
   4. causal fold: c[0]=0, c[1..N/2-1] kept, c[N/2]=0, c[N/2+1..] negated
      (the discrete Hilbert window, CDSPRealFFT.h:737-749),
@@ -67,7 +68,13 @@ def min_phase_transform(
     from .ldfft import HAVE_LONGDOUBLE, fft_ld
 
     if HAVE_LONGDOUBLE:
-        real_t, tiny = np.longdouble, np.longdouble("1e-4000")
+        # log(0) guard: the smallest normal of the platform's long double
+        # (x86 80-bit: ~3.36e-4932; double-double: ~f64 tiny).  A literal
+        # like 1e-4000 would silently underflow to 0 where long double has
+        # only f64 exponent range, losing the guard.  The native designer
+        # uses std::numeric_limits<long double>::min() — bit-identical on
+        # matching ABIs.
+        real_t, tiny = np.longdouble, np.finfo(np.longdouble).tiny
 
         def rfft(x):
             return fft_ld(x)[: n2 + 1]
@@ -99,8 +106,7 @@ def min_phase_transform(
     logmag[n2] = np.log(np.abs(nyq_val) + tiny)
 
     # Real cepstrum of the log-magnitude (even) spectrum.
-    cep = irfft_half(logmag.astype(np.clongdouble) if HAVE_LONGDOUBLE
-                     else logmag)
+    cep = irfft_half(logmag)
 
     # Discrete Hilbert windowing (CDSPRealFFT.h:737-749).
     cep[0] = 0.0

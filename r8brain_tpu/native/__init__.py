@@ -182,6 +182,18 @@ class NativeResampler:
             # pattern; avoids re-running the designer per channel.
             if plan is not None:
                 raise ValueError("plan= conflicts with blob=")
+            # oneshot()'s default out_len uses the constructor rates, so a
+            # blob designed for different rates must fail loudly here, not
+            # produce a silently wrong-length output.
+            if len(blob) < 24 or blob[:4] != b"R8BT":
+                raise ValueError("not a plan blob (bad magic/size)")
+            b_src, b_dst = struct.unpack_from("<dd", blob, 8)
+            if (abs(b_src - self._src_rate) > 1e-9 * b_src
+                    or abs(b_dst - self._dst_rate) > 1e-9 * b_dst):
+                raise ValueError(
+                    f"blob is a {b_src:g}->{b_dst:g} design but the "
+                    f"resampler was constructed for "
+                    f"{self._src_rate:g}->{self._dst_rate:g}")
             self.plan = None
             self._blob = blob  # keep alive
             self._h = self._lib.r8bt_create_from_blob(

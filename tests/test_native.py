@@ -194,3 +194,20 @@ def test_native_avx2_paths_match_oracle(tmp_path):
                        cwd=str(Path(__file__).resolve().parent.parent))
     assert r.returncode == 0, (r.stdout, r.stderr[-2000:])
     assert "AVX2 PARITY OK" in r.stdout
+
+
+def test_blob_rate_validation(native):
+    """A plan blob designed for different rates (or garbage bytes) must be
+    rejected at construction: oneshot()'s default out_len uses the
+    constructor rates, so a mismatch would silently produce wrong-length
+    output."""
+    from r8brain_tpu.native import NativeResampler, native_design_blob
+
+    blob = native_design_blob(96000.0, 44100.0, 2.0, 180.15, 0)
+    with pytest.raises(ValueError, match="96000->44100"):
+        NativeResampler(44100, 96000, blob=blob)
+    with pytest.raises(ValueError, match="magic"):
+        NativeResampler(1, 2, blob=b"XXXX" + bytes(40))
+    # matching rates still construct and run
+    r = NativeResampler(96000, 44100, blob=blob)
+    assert r.oneshot(np.zeros(1000)).shape[0] > 0
