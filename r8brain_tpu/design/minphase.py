@@ -84,8 +84,14 @@ def min_phase_transform(
             full[: n2 + 1] = X_half
             full[n2 + 1 :] = np.conj(X_half[1:n2][::-1])
             return fft_ld(full, inverse=True).real
-    else:  # reference-equivalent f64 fallback
-        real_t, tiny = np.float64, 1e-300
+    else:  # f64 fallback (np.longdouble == float64 on this ABI)
+        # Match the native designer, which biases with
+        # numeric_limits<long double>::min() == DBL_MIN on 64-bit long
+        # double ABIs — so both designers stay bit-identical there.  The
+        # reference's literal is 1e-300 (CDSPRealFFT.h:716); the two
+        # differ only for exact-zero magnitude bins, which windowed-sinc
+        # spectra do not produce.
+        real_t, tiny = np.float64, np.finfo(np.float64).tiny
         rfft = np.fft.rfft
 
         def irfft_half(X_half):

@@ -14,6 +14,7 @@ host-side streaming with no Python in the audio path.  This module provides:
 from __future__ import annotations
 
 import ctypes
+import math
 import os
 import struct
 import subprocess
@@ -188,8 +189,13 @@ class NativeResampler:
             if len(blob) < 24 or blob[:4] != b"R8BT":
                 raise ValueError("not a plan blob (bad magic/size)")
             b_src, b_dst = struct.unpack_from("<dd", blob, 8)
-            if (abs(b_src - self._src_rate) > 1e-9 * b_src
-                    or abs(b_dst - self._dst_rate) > 1e-9 * b_dst):
+            # Positive-form check: NaN/Inf header rates make every
+            # comparison False, so require the match to *hold* rather
+            # than testing for a mismatch (a NaN rate then fails here
+            # instead of slipping past both layers).
+            if not (math.isfinite(b_src) and math.isfinite(b_dst)
+                    and abs(b_src - self._src_rate) <= 1e-9 * abs(b_src)
+                    and abs(b_dst - self._dst_rate) <= 1e-9 * abs(b_dst)):
                 raise ValueError(
                     f"blob is a {b_src:g}->{b_dst:g} design but the "
                     f"resampler was constructed for "

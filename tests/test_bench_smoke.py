@@ -25,8 +25,11 @@ def test_bench_cpu_smoke():
                        capture_output=True, text=True, env=env,
                        cwd=str(ROOT), timeout=600)
     assert r.returncode == 0, r.stderr[-2000:]
+    assert r.stdout.strip(), f"bench.py exited 0 with empty stdout; " \
+                             f"stderr: {r.stderr[-2000:]}"
     line = r.stdout.strip().splitlines()[-1]
     rec = json.loads(line)
     assert rec["metric"] == "resample_44k_to_96k_24bit_throughput"
     assert rec["unit"] == "Mrops"
     assert rec["value"] > 0 and rec["vs_baseline"] > 0
+    assert rec["exec_value"] > 0 and rec["exec_vs_baseline"] > 0
