@@ -35,6 +35,8 @@ Executor designs (reference counterpart -> TPU-native form):
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -208,10 +210,17 @@ class ConvExec:
         if engine in ("pallas_fft", "pallas_fft4", "pallas_fft5"):
             # the VMEM-resident df32-FFT kernels share the fft framing
             self.precision = "high"
-        elif engine in ("direct", "toeplitz", "pallas"):
+        elif engine in ("direct", "toeplitz", "toeplitz_sym", "pallas"):
             self._build_direct(k)
             if engine == "toeplitz":
                 self._build_toeplitz()
+            elif engine == "toeplitz_sym":
+                if not self._build_toeplitz_sym():
+                    from ..utils.trace import trace
+                    trace("conv_toeplitz_sym_fallback", K=self.K,
+                          up=spec.up, down=spec.down)
+                    self.engine = "toeplitz"
+                    self._build_toeplitz()
             elif engine == "pallas":
                 self._build_pallas()
             return
@@ -320,6 +329,7 @@ class ConvExec:
         self.D_direct = D
 
     def _build_toeplitz(self, B: int = 512):
+        B = int(os.environ.get("R8BT_TOEP_B", B))  # A/B tuning knob
         """Banded-Toeplitz matmul form of the polyphase superkernel.
 
         XLA:TPU lowers long stride-1 1D convolutions as shift-and-add VPU
@@ -369,6 +379,313 @@ class ConvExec:
                 Tlo = truncate_residual(lo_full, float(np.abs(Thi).max()))
             self.toep_chunks.append((d0, Thi, Tlo))
         self.B_toep = B
+
+    def _build_toeplitz_sym(self, B: int = 256) -> bool:
+        """Centrosymmetry-folded banded-Toeplitz operators: HALF the MXU
+        flops for linear-phase (symmetric) kernels.
+
+        The reference's own kernels are symmetric by construction
+        (CDSPSincFilterGen.h:312-395 windowed-sinc band kernels; its HB
+        kernels exploit exactly this, CDSPHBUpsampler.inc:5-7) — a full
+        MAC per tap leaves a provable 2x on the table.  Per phase j the
+        superkernel row SK[j] of a symmetric kernel is palindromic about
+        its own support center whenever up | (2*(j*down+off) - (K-1))
+        (always for up = 1, and for up = 2 with odd K — every ConvStage
+        the planner emits).  The per-phase banded operator
+        T[t*down + d, t] = SK_j[d] is then CENTROSYMMETRIC
+        (T = flip_rows(flip_cols(T))), so it block-diagonalizes under the
+        even/odd fold: with z = fr + flip(fr), w = fr - flip(fr),
+
+            y[t] + y[B-1-t] = z[:Hp] . Te,   Te = T[:H] + flip(T[H:])
+            y[t] - y[B-1-t] = w[:Hp] . To,   To = T[:H] - flip(T[H:])
+
+        and both right-hand sides are SYMMETRIC/ANTISYMMETRIC in t, so
+        only the first B/2 output columns of each are needed: two
+        (L_f/2 x B/2) matmuls replace one (L_f x B) — exactly half the
+        MACs at identical band waste.  The fold itself is one flip of
+        the stage input plus segment adds that fuse into the matmul
+        operand reads; recombination is one half-width column flip.
+
+        Numerics: the f32 fold add rounds at 2^-24 of |z| per element
+        (~the f32 input-representation class).  ``sym_comp`` (default on
+        for precision="high") applies the EXACT two_sum fold error as
+        one cheap bf16 residual matmul per fold, pushing the added noise
+        to ~2^-32.
+
+        Returns False (caller falls back to the plain operator) when the
+        kernel is not bit-symmetric or any phase row is not palindromic.
+        """
+        spec = self.spec
+        up, down = spec.up, spec.down
+        k = np.asarray(spec.filt.kernel, dtype=np.float64)
+        if not np.array_equal(k, k[::-1]):
+            return False
+        sk64 = self._sk64
+        # per-phase tight support + palindromicity
+        phases = []
+        for j in range(up):
+            nz = np.nonzero(sk64[j])[0]
+            if nz.size == 0:
+                return False
+            dlo, dhi = int(nz.min()), int(nz.max())
+            row = sk64[j, dlo : dhi + 1]
+            if not np.array_equal(row, row[::-1]):
+                return False
+            phases.append((dlo, row))
+        # SYMMETRIC extension to a common window origin: padding e zeros
+        # on BOTH sides keeps each row palindromic, and with every
+        # dlo == dmin the phases share one frame origin — the Pallas
+        # kernel then needs no unaligned in-VMEM slices at all
+        dmin = min(dlo for dlo, _ in phases)
+        phases = [(dmin, np.pad(row, (dlo - dmin, dlo - dmin)))
+                  for dlo, row in phases]
+        while B * down > 2 * self.D_direct and B > 256:
+            B //= 2
+        self.B_sym = B
+        self.sym_dmin = dmin
+        self.sym_comp = self.precision == "high"
+        self.toep_sym = []
+        for j, (dlo, row) in enumerate(phases):
+            Dj = row.shape[0]
+            L_f = (B - 1) * down + Dj
+            T = np.zeros((L_f, B), dtype=np.float64)
+            for t in range(B):
+                T[t * down : t * down + Dj, t] = row
+            H = L_f // 2
+            Hp = (L_f + 1) // 2
+            Bh = B // 2
+            Te = np.zeros((Hp, Bh), dtype=np.float64)
+            To = np.zeros((Hp, Bh), dtype=np.float64)
+            Te[:H] = 0.5 * (T[:H, :Bh] + T[L_f - 1 : L_f - 1 - H : -1, :Bh])
+            To[:H] = 0.5 * (T[:H, :Bh] - T[L_f - 1 : L_f - 1 - H : -1, :Bh])
+            if L_f % 2:
+                Te[Hp - 1] = 0.5 * T[Hp - 1, :Bh]
+                # To center row is identically zero (w[center] = 0)
+            Te_hi = Te.astype(self.dtype)
+            To_hi = To.astype(self.dtype)
+            Te_lo = To_lo = None
+            if self.precision == "high":
+                scale = float(max(np.abs(Te_hi).max(), np.abs(To_hi).max()))
+
+                def _aligned(tr):
+                    # 128-align the residual row range so the Pallas
+                    # operand slice needs no VMEM relayout (zero rows
+                    # ride a cheap bf16 pass)
+                    r0, rows = tr
+                    if rows.shape[0] == 0:
+                        return tr
+                    r1 = r0 + rows.shape[0]
+                    r0a = (r0 // 128) * 128
+                    r1a = min(Hp, -(-r1 // 128) * 128)
+                    out = np.zeros((r1a - r0a, rows.shape[1]), rows.dtype)
+                    out[r0 - r0a : r1 - r0a] = rows
+                    return (r0a, out)
+
+                Te_lo = _aligned(truncate_residual(
+                    (Te - Te_hi.astype(np.float64)).astype(self.dtype),
+                    scale))
+                To_lo = _aligned(truncate_residual(
+                    (To - To_hi.astype(np.float64)).astype(self.dtype),
+                    scale))
+            self.toep_sym.append(
+                dict(dlo=dlo, L_f=L_f, Hp=Hp, Te=Te_hi, To=To_hi,
+                     Te_lo=Te_lo, To_lo=To_lo))
+        return True
+
+    def _use_sym_pallas(self, C: int) -> int:
+        """Channel tile for the fused fold kernel, or 0 for the XLA path
+        (non-f32 dtypes, CPU backend, or shapes that don't tile)."""
+        if self.dtype != jnp.float32:
+            return 0
+        try:
+            from .pallas_symconv import HAVE_PALLAS, choose_ct
+        except Exception:  # pragma: no cover
+            return 0
+        interp = getattr(self, "sym_pallas_interpret", False)
+        if not HAVE_PALLAS or (jax.devices()[0].platform == "cpu"
+                               and not interp):
+            return 0
+        hop = self.B_sym * self.spec.down
+        if hop % 128:
+            return 0
+        Hp_max = max(ph["Hp"] for ph in self.toep_sym)
+        return choose_ct(C, hop, Hp_max, self.B_sym, 8, self.spec.up)
+
+    def _apply_toeplitz_sym(self, x: jnp.ndarray, M: int) -> jnp.ndarray:
+        spec = self.spec
+        C, N = x.shape
+        up, down = spec.up, spec.down
+        B = self.B_sym
+        Bh = B // 2
+        hop = B * down
+        n_cyc = -(-M // up)
+        nb = -(-n_cyc // B)
+        CT = self._use_sym_pallas(C)
+        if CT:
+            return self._apply_sym_pallas(x, C, M, CT)
+        pad_l = max(0, -self.s_min)
+        xp = jnp.pad(x.astype(self.dtype), ((0, 0), (pad_l, 0)))
+        xp = xp[:, self.s_min + pad_l :]
+        per_phase = []
+        for ph in self.toep_sym:
+            dlo, L_f, Hp = ph["dlo"], ph["L_f"], ph["Hp"]
+            n_seg = -(-Hp // hop)
+            buf_len = (nb + n_seg) * hop
+            need_f = (nb - 1) * hop + L_f  # meaningful frame extent
+            xj = xp[:, dlo:]
+            if xj.shape[1] < need_f:
+                xj = jnp.pad(xj, ((0, 0), (0, need_f - xj.shape[1])))
+            # reversed-frame operand: flip(fr_b)[l] = fr_b[L_f-1-l] is a
+            # forward frame of the REVERSED meaningful prefix (prefix
+            # slicing is free; one flip pass per phase)
+            xr = jnp.flip(xj[:, :need_f], axis=-1)
+            xf_buf = (jnp.pad(xj[:, :buf_len],
+                              ((0, 0), (0, max(0, buf_len - xj.shape[1]))))
+                      if xj.shape[1] < buf_len else xj[:, :buf_len])
+            xr_buf = (jnp.pad(xr, ((0, 0), (0, buf_len - need_f)))
+                      if need_f < buf_len else xr[:, :buf_len])
+            cf = xf_buf.reshape(C, nb + n_seg, hop)
+            cr = xr_buf.reshape(C, nb + n_seg, hop)
+            Te = jnp.asarray(ph["Te"])
+            To = jnp.asarray(ph["To"])
+            out_e = out_o = None
+            comp_e = comp_o = None
+            for e in range(n_seg):
+                w = min(hop, Hp - e * hop)
+                a = cf[:, e : nb + e, :w]
+                # chunks of the reversed prefix hold the flipped frames in
+                # REVERSED block order (frame beta of xr == block nb-1-beta
+                # of the forward framing): flip the block (sublane) axis
+                b = jnp.flip(cr[:, e : nb + e, :w], axis=1)
+                z = a + b
+                wseg = a - b
+                Te_e = jax.lax.slice(Te, (e * hop, 0), (e * hop + w, Bh))
+                To_e = jax.lax.slice(To, (e * hop, 0), (e * hop + w, Bh))
+                oe = jnp.einsum("cbl,lk->cbk", z, Te_e,
+                                precision=jax.lax.Precision.HIGHEST)
+                oo = jnp.einsum("cbl,lk->cbk", wseg, To_e,
+                                precision=jax.lax.Precision.HIGHEST)
+                out_e = oe if out_e is None else out_e + oe
+                out_o = oo if out_o is None else out_o + oo
+                if self.sym_comp:
+                    # exact fold-rounding compensation (two_sum error of
+                    # a+b and a-b), applied at RESIDUAL_PRECISION: the
+                    # error operand is ~2^-24 of z, so one bf16 pass
+                    # leaves ~2^-32 — below even the high path's floor
+                    bz = z - a
+                    z_err = (a - (z - bz)) + (b - bz)
+                    bv = wseg - a
+                    w_err = (a - (wseg - bv)) - (b + bv)
+                    ce = jnp.einsum("cbl,lk->cbk",
+                                    z_err.astype(jnp.bfloat16),
+                                    Te_e.astype(jnp.bfloat16),
+                                    precision=RESIDUAL_PRECISION)
+                    co = jnp.einsum("cbl,lk->cbk",
+                                    w_err.astype(jnp.bfloat16),
+                                    To_e.astype(jnp.bfloat16),
+                                    precision=RESIDUAL_PRECISION)
+                    comp_e = ce if comp_e is None else comp_e + ce
+                    comp_o = co if comp_o is None else comp_o + co
+            # kernel-representation residual (precision="high"): one
+            # bf16 pass over the truncated row block of each operator
+            if self.precision == "high":
+                for lo, ops in ((ph["Te_lo"], "e"), (ph["To_lo"], "o")):
+                    r0, Tl = lo
+                    if not Tl.shape[0]:
+                        continue
+                    L_lo = Tl.shape[0]
+                    acc = None
+                    for e in range(r0 // hop, (r0 + L_lo - 1) // hop + 1):
+                        a0 = max(r0, e * hop)
+                        a1 = min(r0 + L_lo, e * hop + hop)
+                        a = cf[:, e : nb + e, a0 - e * hop : a1 - e * hop]
+                        b = jnp.flip(
+                            cr[:, e : nb + e, a0 - e * hop : a1 - e * hop],
+                            axis=1)
+                        seg = (a + b) if ops == "e" else (a - b)
+                        Tle = jax.lax.slice(jnp.asarray(Tl), (a0 - r0, 0),
+                                            (a1 - r0, Bh))
+                        o = jnp.einsum("cbl,lk->cbk",
+                                       seg.astype(jnp.bfloat16),
+                                       Tle.astype(jnp.bfloat16),
+                                       precision=RESIDUAL_PRECISION)
+                        acc = o if acc is None else acc + o
+                    if acc is not None:
+                        if ops == "e":
+                            out_e = out_e + acc.astype(out_e.dtype)
+                        else:
+                            out_o = out_o + acc.astype(out_o.dtype)
+            if comp_e is not None:
+                out_e = out_e + comp_e.astype(out_e.dtype)
+                out_o = out_o + comp_o.astype(out_o.dtype)
+            # recombine: y[t] = e+o (t < B/2), y[B-1-t] = e-o
+            y_first = out_e + out_o
+            y_second = jnp.flip(out_e - out_o, axis=-1)
+            yj = jnp.concatenate([y_first, y_second], axis=-1)
+            per_phase.append(yj.reshape(C, nb * B))
+        if up == 1:
+            y = per_phase[0]
+        else:
+            y = jnp.stack(per_phase, axis=-1).reshape(C, nb * B * up)
+        return y[:, :M]
+
+    def _apply_sym_pallas(self, x: jnp.ndarray, C: int, M: int,
+                          CT: int) -> jnp.ndarray:
+        """Folded convolver via the fused stage kernel: fold in VMEM,
+        frame-order reversal absorbed into the DMA index (the XLA fold
+        path materializes every rev/pad/slice — measured 65% of device
+        time).  One kernel call per stage: all phases share the forward
+        window DMA and a common frame origin (x[s_min + dmin + b*hop]),
+        so no unaligned in-VMEM slices exist."""
+        from .pallas_symconv import sym_conv_stage_pallas
+
+        spec = self.spec
+        up, down = spec.up, spec.down
+        B = self.B_sym
+        hop = B * down
+        n_cyc = -(-M // up)
+        nb = -(-n_cyc // B)
+        Q = min(8, nb)
+        nbp_pad = -(-nb // Q) * Q
+        start0 = self.s_min + self.sym_dmin
+        pad_l = max(0, -start0)
+        xp = jnp.pad(x.astype(self.dtype), ((0, 0), (pad_l, 0)))
+        xp = xp[:, start0 + pad_l :]
+        P_max = (nbp_pad - 1) * hop + max(ph["L_f"] for ph in self.toep_sym)
+        if xp.shape[1] < P_max:
+            xp = jnp.pad(xp, ((0, 0), (0, P_max - xp.shape[1])))
+        xrs, tes_tos, los, r0s, Hps = [], [], [], [], []
+        for ph in self.toep_sym:
+            L_f, Hp = ph["L_f"], ph["Hp"]
+            Hps.append(Hp)
+            # rev row l of frame b = xp[b*hop + L_f-1-l]
+            #                      = flip(xp[:, :P])[(nbp-1-b)*hop + l]
+            P = (nbp_pad - 1) * hop + L_f
+            xrs.append(jnp.flip(jax.lax.slice(xp, (0, 0), (C, P)),
+                                axis=-1))
+            tes_tos += [jnp.asarray(ph["Te"]), jnp.asarray(ph["To"])]
+            if self.precision == "high":
+                pr0 = []
+                for r0, rows in (ph["Te_lo"], ph["To_lo"]):
+                    if rows.shape[0] == 0:
+                        r0, rows = 0, np.zeros((1, B // 2), self.dtype)
+                    los.append(jnp.asarray(rows))
+                    pr0.append(r0)
+                r0s.append(tuple(pr0))
+        kw = {}
+        if self.precision == "high":
+            kw = dict(los=tuple(los), r0s=tuple(r0s), comp=self.sym_comp)
+        if getattr(self, "sym_pallas_interpret", False):
+            kw["interpret"] = True
+        out = sym_conv_stage_pallas(xp, tuple(xrs), tuple(tes_tos), nb, up,
+                                    Q, hop, tuple(Hps), B, CT, **kw)
+        # single assembly pass: flip the anti-palindromic half, restore
+        # t-major order, interleave phases
+        v = out.reshape(C, nbp_pad, up, 2, B // 2)
+        y4 = jnp.concatenate([v[..., 0, :], jnp.flip(v[..., 1, :], -1)],
+                             axis=-1)  # [C, nb, up, B]
+        y = jnp.swapaxes(y4, 2, 3).reshape(C, nbp_pad * B * up)
+        return y[:, :M]
 
     def _build_pallas(self, B: int = 64):
         """Mini-Toeplitz for the fused Pallas kernel: with the window
@@ -495,6 +812,8 @@ class ConvExec:
             return jnp.zeros((C, 0), dtype=self.dtype)
         if self.engine == "toeplitz":
             return self._apply_toeplitz(x, M)
+        if self.engine == "toeplitz_sym":
+            return self._apply_toeplitz_sym(x, M)
         if self.engine == "pallas":
             return self._apply_pallas(x, M)
         if self.engine == "direct":
