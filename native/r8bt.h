@@ -19,6 +19,17 @@
  *               | f64 table[out_step*fl]
  *   frac_poly:  f64 src_rate, dst_rate, init_frac_pos | i64 in_latency,
  *               fl, fracs, rows | f64 table[rows*fl*3]
+ *
+ * SIMD coverage (r8bt.cpp): AVX-512 and AVX2+FMA kernels for the FFT
+ * butterflies, half-band stencils and fractional dot products, with a
+ * portable scalar fallback.  ARM/NEON kernels are NOT provided (the
+ * reference ships NEON variants, r8bbase.h:107-134 /
+ * CDSPHBUpsampler.inc:298; this build environment has no ARM toolchain
+ * or hardware to compile-check intrinsics against).  On ARM hosts the
+ * scalar path runs and is correct but expect a ~2.2-3.8x throughput
+ * cliff — the same deltas measured on x86 with AVX-512/AVX2 masked off
+ * (NEXT.md item 6); contributions of __ARM_NEON counterparts slot into
+ * the existing per-kernel dispatch points.
  */
 #ifndef R8BT_H
 #define R8BT_H

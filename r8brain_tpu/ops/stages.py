@@ -328,7 +328,12 @@ class ConvExec:
         self.s_min = s_min
         self.D_direct = D
 
-    def _build_toeplitz(self, B: int = 512):
+    def _build_toeplitz(self, B: int = 256):
+        # Band width vs MXU shape: on the poly chain (D = 709/306 conv
+        # stages) the chip measured B=512: 2203, B=384: 2374, B=256: 2392,
+        # B=128: 2071 Mrops (exec) — the dots run at the ~33 Tflop/s
+        # f32-HIGHEST roof from 256 columns up, so the smaller band waste
+        # wins until the column count drops under ~512 (B=128).
         B = int(os.environ.get("R8BT_TOEP_B", B))  # A/B tuning knob
         """Banded-Toeplitz matmul form of the polyphase superkernel.
 

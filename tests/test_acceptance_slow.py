@@ -5,7 +5,9 @@ the full sweeps once by hand (VERDICT weak #5) — nothing guarded the
 README claims against regression.  This tier reruns the real thing:
 
   * full 620-ratio zerotest (bench/zerotest.cpp:98-141) on the oracle,
-    plus the f32 chain on a denser 62-ratio grid;
+    AND the full 620 ratios through the PRODUCTION f32 chain (VERDICT r2
+    weak #2: was 62; ~3.5 s/ratio on XLA:CPU with the persistent
+    compilation cache, ~35 min);
   * full 49..218-dB SNR sweep (bench/snrtest.cpp:69-108);
   * masstest at 10x trials (bench/masstest.cpp:46-182 analog).
 
@@ -26,9 +28,9 @@ def test_zerotest_full_620_oracle():
     assert main(["--atten", "160", "--n", "12000"]) == 0
 
 
-def test_zerotest_f32_dense():
+def test_zerotest_f32_full_620():
     from tools.zerotest import main
-    assert main(["--quick", "--impl", "f32", "--cpu",
+    assert main(["--impl", "f32", "--cpu",
                  "--atten", "160", "--n", "12000"]) == 0
 
 
