@@ -130,13 +130,19 @@ def main():
     # best-of-repeats: the remote chip is shared and the tunnel adds
     # variable latency; the minimum is the least-interfered steady state
     # (same convention as the reference bench's manual best-of-N runs)
-    t_one = min(_timed(run, x0, 1) for _ in range(repeats))
-    acc, t_many = np.nan, np.inf
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        a = float(run(x0, iters + 1))
-        t_many = min(t_many, time.perf_counter() - t0)
-        acc = a
+    acc = np.nan
+    t_one, t_many = np.inf, np.inf
+    for attempt in range(3):  # timing jitter (e.g. sub-ms CPU smoke runs
+        # where the 1-iter anchor lands slower than the long run): take
+        # more minima rather than recording a negative/garbage rate
+        t_one = min([t_one] + [_timed(run, x0, 1) for _ in range(repeats)])
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            a = float(run(x0, iters + 1))
+            t_many = min(t_many, time.perf_counter() - t0)
+            acc = a
+        if t_many > t_one:
+            break
     dt = (t_many - t_one) / iters  # pure per-iteration device time
     assert np.isfinite(acc)
     assert dt > 0, (t_many, t_one)  # pathological tunnel jitter: fail loudly
@@ -148,10 +154,13 @@ def main():
     # so session-to-session tunnel swings (observed +-25% on the wall
     # number: 5753/4368/4211 Mrops for identical code) mostly divide out.
     t_more = np.inf
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        float(run(x0, 3 * iters + 1))
-        t_more = min(t_more, time.perf_counter() - t0)
+    for attempt in range(3):  # same jitter guard as the wall measurement
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(run(x0, 3 * iters + 1))
+            t_more = min(t_more, time.perf_counter() - t0)
+        if t_more > t_many:
+            break
     dt_exec = (t_more - t_many) / (2 * iters)
     assert dt_exec > 0, (t_more, t_many)
 

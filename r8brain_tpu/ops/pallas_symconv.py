@@ -50,10 +50,15 @@ __all__ = ["HAVE_PALLAS", "sym_conv_stage_pallas", "choose_ct"]
 
 
 def choose_ct(C: int, hop: int, Hp_max: int, B: int, Q: int, up: int,
+              lo_rows: int = 0,
               vmem_budget: int = 11 * 1024 * 1024) -> int:
-    """Largest channel tile whose VMEM footprint fits, or 0 if none."""
+    """Largest channel tile whose VMEM footprint fits, or 0 if none.
+
+    lo_rows: total resident residual-operator rows across phases
+    (precision="high" keeps up*2 row-truncated Te_lo/To_lo blocks in VMEM
+    alongside the main operators)."""
     S = -(-((Q - 1) * hop + Hp_max) // 128) * 128
-    ops = up * 2 * Hp_max * (B // 2) * 4  # resident Te/To per phase
+    ops = (up * 2 * Hp_max + lo_rows) * (B // 2) * 4  # resident operators
     for CT in (128, 64, 32, 16, 8):
         if C % CT:
             continue

@@ -329,12 +329,6 @@ class ConvExec:
         self.D_direct = D
 
     def _build_toeplitz(self, B: int = 256):
-        # Band width vs MXU shape: on the poly chain (D = 709/306 conv
-        # stages) the chip measured B=512: 2203, B=384: 2374, B=256: 2392,
-        # B=128: 2071 Mrops (exec) — the dots run at the ~33 Tflop/s
-        # f32-HIGHEST roof from 256 columns up, so the smaller band waste
-        # wins until the column count drops under ~512 (B=128).
-        B = int(os.environ.get("R8BT_TOEP_B", B))  # A/B tuning knob
         """Banded-Toeplitz matmul form of the polyphase superkernel.
 
         XLA:TPU lowers long stride-1 1D convolutions as shift-and-add VPU
@@ -347,10 +341,27 @@ class ConvExec:
 
         FLOPs per output = ((B-1)*down + D)/up vs the optimal D/up — the
         waste factor (1 + B*down/D) buys full MXU utilization.
+
+        Default band B=256: on the poly chain (D = 709/306 conv stages)
+        the chip measured exec Mrops 2203/2374/2392/2071 at
+        B = 512/384/256/128 — the dots run at the ~33 Tflop/s f32-HIGHEST
+        roof from 256 columns up, so smaller band waste wins until the
+        column count drops under ~512 lanes (B=128).  R8BT_TOEP_B
+        overrides for A/B sweeps (plain operator only; the folded sym
+        engine is pinned at 256, see _build_toeplitz_sym).
         """
         spec = self.spec
         up, down = spec.up, spec.down
         D = self.D_direct
+        env_b = os.environ.get("R8BT_TOEP_B")
+        if env_b is not None:
+            try:
+                B = int(env_b)
+            except ValueError as e:
+                raise ValueError(f"R8BT_TOEP_B={env_b!r} is not an int") \
+                    from e
+            if B < 16:
+                raise ValueError(f"R8BT_TOEP_B={B} must be >= 16")
         # keep the flop waste (B*down/D) bounded while B stays MXU-friendly
         while B * down > 2 * D and B > 128:
             B //= 2
@@ -444,8 +455,10 @@ class ConvExec:
         dmin = min(dlo for dlo, _ in phases)
         phases = [(dmin, np.pad(row, (dlo - dmin, dlo - dmin)))
                   for dlo, row in phases]
-        while B * down > 2 * self.D_direct and B > 256:
-            B //= 2
+        # B is FIXED at 256: the folded dots have B/2 output columns, so
+        # any smaller B leaves MXU lanes empty (B=128 -> 64 lanes = half
+        # wasted), which costs more than the band-zero waste it saves —
+        # unlike the plain operator, which can shrink to B=128
         self.B_sym = B
         self.sym_dmin = dmin
         self.sym_comp = self.precision == "high"
@@ -514,7 +527,13 @@ class ConvExec:
         if hop % 128:
             return 0
         Hp_max = max(ph["Hp"] for ph in self.toep_sym)
-        return choose_ct(C, hop, Hp_max, self.B_sym, 8, self.spec.up)
+        lo_rows = 0
+        if self.precision == "high":
+            lo_rows = sum(max(1, ph[k][1].shape[0])
+                          for ph in self.toep_sym
+                          for k in ("Te_lo", "To_lo"))
+        return choose_ct(C, hop, Hp_max, self.B_sym, 8, self.spec.up,
+                         lo_rows=lo_rows)
 
     def _apply_toeplitz_sym(self, x: jnp.ndarray, M: int) -> jnp.ndarray:
         spec = self.spec

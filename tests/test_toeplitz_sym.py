@@ -106,6 +106,33 @@ def test_fallback_on_asymmetric_kernel():
     assert np.array_equal(np.asarray(sym.apply(x)), np.asarray(ref.apply(x)))
 
 
+@pytest.mark.parametrize("spec", SPECS, ids=IDS)
+@pytest.mark.parametrize("precision", ["fast", "high"])
+def test_pallas_kernel_interpret_matches_xla_fold(spec, precision):
+    """The fused Pallas stage kernel (ops/pallas_symconv.py) vs the XLA
+    fold path, in interpreter mode with C=8 (choose_ct needs C % 8 == 0;
+    the production chip path is the same kernel with CT up to 128).
+    The fast path must be BIT-identical: both formulations perform the
+    same f32 fold adds and HIGHEST-precision dots."""
+    x64 = np.stack([lcg_uniform(s, 5000) for s in range(8)])
+    x = jnp.asarray(x64, jnp.float32)
+    xla = ConvExec(spec, jnp.float32, engine="toeplitz_sym",
+                   precision=precision)
+    y_xla = np.asarray(xla.apply(x))
+    pal = ConvExec(spec, jnp.float32, engine="toeplitz_sym",
+                   precision=precision)
+    pal.sym_pallas_interpret = True
+    y_pal = np.asarray(pal.apply(x))
+    assert y_pal.shape == y_xla.shape
+    if precision == "fast":
+        assert np.array_equal(y_pal, y_xla)
+    else:
+        # interpreter DEFAULT-precision dots run f32 (bf16 on TPU): the
+        # residual/compensation terms differ below the high-path floor
+        rel = np.abs(y_pal - y_xla).max() / np.abs(y_xla).max()
+        assert rel < 2e-6, rel
+
+
 @pytest.mark.parametrize("cfg", [(44100, 96001), (96000, 44100)],
                          ids=["poly_96001", "down_96k_44k"])
 def test_full_chain_vs_oracle(cfg):

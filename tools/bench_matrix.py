@@ -85,9 +85,13 @@ def run_one(label, cmd, env, timeout, out_path):
                            cwd=str(ROOT), timeout=timeout)
         lines = [ln for ln in r.stdout.strip().splitlines()
                  if ln.startswith("{")]
-        rec = json.loads(lines[-1]) if lines else {}
+        try:
+            rec = json.loads(lines[-1]) if lines else {}
+        except json.JSONDecodeError as e:
+            # a truncated/garbled line must not abort the remaining sweep
+            rec = {"error": f"bad json: {e}; line={lines[-1][:200]}"}
         rec["rc"] = r.returncode
-        if r.returncode and not lines:
+        if r.returncode and "error" not in rec and not lines:
             rec["error"] = r.stderr[-500:]
     except subprocess.TimeoutExpired:
         rec = {"rc": -1, "error": f"timeout after {timeout}s"}
@@ -106,7 +110,10 @@ def main(argv=None):
     ap.add_argument("--quick", action="store_true",
                     help="first 2 bench rows only (smoke)")
     args = ap.parse_args(argv)
-    out_path = args.out or str(ROOT / f"BENCHMATRIX_r{args.round}.json")
+    # --quick must never truncate the committed round artifact
+    default_name = (f"BENCHMATRIX_r{args.round}.json" if not args.quick
+                    else "BENCHMATRIX_quick.json")
+    out_path = args.out or str(ROOT / default_name)
     with open(out_path, "w") as f:
         f.write(json.dumps({"label": "_meta",
                             "commit": subprocess.run(

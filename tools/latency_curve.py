@@ -29,8 +29,10 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from r8brain_tpu.utils.cache import enable_compilation_cache
+from r8brain_tpu.utils.cache import (enable_compilation_cache,
+                                     honor_jax_platforms_env)
 
+honor_jax_platforms_env()  # JAX_PLATFORMS=cpu must win over sitecustomize
 enable_compilation_cache()
 import jax
 import jax.numpy as jnp
