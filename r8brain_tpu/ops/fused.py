@@ -245,7 +245,10 @@ class FusedUpExec:
         p_in, p_out = self.p_in, self.p_out
         n_cyc = -(-M // p_out)
         x = x.astype(self.dtype)
-        need = (n_cyc - 1) * p_in + self.a0 + self.D
+        # one pad through to the framed-matmul buffer ((n_cyc + n_seg) *
+        # p_in past a0): its internal pad (a full-array copy) never runs
+        n_seg = -(-self.D // p_in)
+        need = self.a0 + (n_cyc + n_seg) * p_in
         pad_r = max(0, need - N)
         xp = jnp.pad(x, ((0, 0), (self.pad_l, pad_r)))
         xp = xp[:, self.a0 + self.pad_l :]

@@ -775,7 +775,18 @@ class ConvExec:
         n_cyc = -(-M // up)
         n_blocks = -(-n_cyc // B)
         pad_l = max(0, -self.s_min)
-        xp = jnp.pad(x.astype(self.dtype), ((0, 0), (pad_l, 0)))
+        # ONE pad covering both the left window extension and every
+        # chunk's framed-matmul buffer ((n_blocks + n_seg)*hop from its
+        # d0 offset): _framed_matmul skips its own pad when the input is
+        # already long enough, so the second full-array pad pass (XLA pad
+        # = whole-array copy) never runs
+        hop = B * down
+        need = 0
+        for d0, T, _ in self.toep_chunks:
+            n_seg = -(-T.shape[0] // hop)
+            need = max(need, d0 + (n_blocks + n_seg) * hop)
+        pad_r = max(0, need - (N - self.s_min))
+        xp = jnp.pad(x.astype(self.dtype), ((0, 0), (pad_l, pad_r)))
         xp = xp[:, self.s_min + pad_l :]
         out = None
         for d0, T, Tlo in self.toep_chunks:
@@ -1131,8 +1142,11 @@ class FracWholeExec:
         O, I = spec.out_step, spec.in_step
         n_cyc = -(-M // O)
         x = x.astype(self.dtype)
-        # window for cycle m, phase j: x[m*I + a0 + d], d in [0, D)
-        need = (n_cyc - 1) * I + self.a0 + self.D  # one past last index
+        # window for cycle m, phase j: x[m*I + a0 + d], d in [0, D).
+        # Pad ONCE through to the framed-matmul buffer length
+        # ((n_cyc + n_seg)*I past a0) so its internal pad never copies.
+        n_seg = -(-self.D // I)
+        need = self.a0 + (n_cyc + n_seg) * I
         pad_r = max(0, need - N)
         xp = jnp.pad(x, ((0, 0), (self.pad_l, pad_r)))
         start = self.a0 + self.pad_l
