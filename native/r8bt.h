@@ -88,6 +88,14 @@ r8bt_handle r8bt_create_ex(double src_rate, double dst_rate,
 long r8bt_design_blob(double src_rate, double dst_rate, double trans_band,
                       double atten, int phase, void *buf, long buf_len);
 
+/* Deterministic double-double cepstral min-phase transform applied to a
+ * caller-supplied kernel (testing/verification entry: the cross-designer
+ * bit-parity tests feed both designers the SAME kernel through this).
+ * out must hold n doubles.  Returns 0, or -1 on invalid parameters.
+ * See native/r8bt_dd.h. */
+int r8bt_minphase_dd(const double *kernel, long n, int len_mult,
+                     double *out);
+
 #ifdef __cplusplus
 }
 #endif

@@ -27,10 +27,12 @@
  */
 
 #include "r8bt.h"
+#include "r8bt_dd.h"
 
 #include <cmath>
 #include <complex>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <limits>
 #include <string>
@@ -121,11 +123,14 @@ void normalizeFir(std::vector<double> &p, double dcGain) {
  * 207 and 8e-3 at 218, with even the DC-group-delay LATENCY estimate
  * randomizing (the compiled C++ reference disagreed by 18 whole samples
  * at atten 218 — its own documented limit, CDSPFIRFilter.h:40-46: "the
- * skew happens purely at random").  minPhaseTransform therefore runs in
- * long double (eps 1.08e-19, ~1000x below the deepest stop band),
- * mirroring design/ldfft.py: designer parity becomes 8e-6 taps / exact
- * plan integers / -83 dB end-to-end at atten 218, limited by f64
- * kernel-design rounding, not the transform.  Pinned in
+ * skew happens purely at random").  minPhaseTransform therefore runs
+ * in deterministic double-double by default (r8bt_dd.cpp — BIT-identical
+ * to the Python designer's transform on every IEEE-754 platform, pinned
+ * in tests/test_minphase_dd.py), with this file's long-double path kept
+ * as the R8BT_MINPHASE_BACKEND=ld comparison backend (eps 1.08e-19,
+ * ~1000x below the deepest stop band, mirroring design/ldfft.py).
+ * Full-design parity is limited by f64 kernel-design libm rounding
+ * (~1 ulp window/sinc), not the transform.  Pinned in
  * tests/test_native_design.py. */
 template <typename T>
 void fftInPlace(std::vector<std::complex<T>> &a, bool inverse) {
@@ -221,6 +226,25 @@ std::vector<double> genFracKernel(double len2, double fd, double betaRaw,
 
 std::vector<double> minPhaseTransform(const std::vector<double> &kernel,
                                       int lenMult, double &dcGroupDelay) {
+    /* Backend selection mirrors design/minphase.py::_backend: the
+     * default is the deterministic double-double transform
+     * (r8bt_dd.cpp) — bit-identical to the Python dd path on every
+     * IEEE-754 platform (pinned in tests/test_minphase_dd.py) and more
+     * accurate than 80-bit long double, so min-phase designs never
+     * degenerate to the reference's documented f64 randomness
+     * (CDSPFIRFilter.h:40-46) on ANY ABI, including those where long
+     * double is plain binary64 (MSVC x64, some ARM EABIs).
+     * R8BT_MINPHASE_BACKEND in {dd, ld} overrides (the ld path is the
+     * round-2 default, kept for comparison tests). */
+    const char *be = std::getenv("R8BT_MINPHASE_BACKEND");
+    const bool useDD = !(be && std::strcmp(be, "ld") == 0);
+    if (useDD) {
+        std::vector<double> out =
+            r8bt_dd::minPhaseTransformDD(kernel, lenMult);
+        dcGroupDelay = firGroupDelay(out, 0.0);
+        return out;
+    }
+
     /* Long-double cepstral transform (mirrors design/minphase.py +
      * design/ldfft.py): the f64 version's stop-band log() is noise at
      * high atten and skews the result at random (CDSPFIRFilter.h:40-46);
@@ -1015,6 +1039,15 @@ long r8bt_design_blob(double src_rate, double dst_rate, double trans_band,
     if (buf && buf_len >= (long)blob.size())
         std::memcpy(buf, blob.data(), blob.size());
     return (long)blob.size();
+}
+
+int r8bt_minphase_dd(const double *kernel, long n, int len_mult,
+                     double *out) {
+    if (!kernel || !out || n <= 0 || len_mult < 2) return -1;
+    const std::vector<double> in(kernel, kernel + n);
+    const std::vector<double> res = r8bt_dd::minPhaseTransformDD(in, len_mult);
+    std::memcpy(out, res.data(), res.size() * sizeof(double));
+    return 0;
 }
 
 } // extern "C"

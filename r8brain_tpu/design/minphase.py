@@ -10,12 +10,17 @@ the stop-band magnitude sits only ~100x above the f64 FFT noise floor, so
 log() of those bins is implementation-dependent noise that the Hilbert step
 spreads into every tap (measured: two f64 FFT backends give taps apart 8e-3
 and LATENCY estimates apart 18 samples at atten 218).  This implementation
-improves on that: where the platform has true extended-precision long
-double (x86: eps 1.08e-19), all four FFTs run in long double
-(design/ldfft.py), dropping the noise ~1000x below the deepest supported
-stop-band — min-phase designs become reproducible across implementations
-(the native designer mirrors this, native/r8bt_design.cpp).  Elsewhere it
-falls back to the reference-equivalent f64 numpy FFT.
+removes the randomness entirely: the default backend evaluates all four
+FFTs (and the log/sqrt/sincos between them) in deterministic double-double
+arithmetic built from IEEE-754 binary64 primitives only (design/dd.py,
+design/ddfft.py; eps ~4.9e-32, FFT noise ~1e18x below the deepest supported
+stop-band), with NO libm in the value path — so the transform produces the
+SAME BITS on every conforming platform, and the native designer's mirror
+(native/r8bt_dd.cpp) is bit-identical to it (tests/test_minphase_dd.py).
+The 80-bit long-double backend (design/ldfft.py, the round-2 default,
+~1e-7 taps from dd at atten 218 — its own noise) and the
+reference-equivalent f64 backend remain available via
+R8B_MINPHASE_BACKEND for comparison.
 
 Algorithm:
   1. zero-pad kernel to Len = 2^ceil(log2(kernel_len * len_mult)),
@@ -33,6 +38,7 @@ Algorithm:
 from __future__ import annotations
 
 import math
+import os
 from typing import Tuple
 
 import numpy as np
@@ -40,6 +46,96 @@ import numpy as np
 from ..utils.fir import calc_fir_group_delay
 
 __all__ = ["min_phase_transform"]
+
+
+def _backend() -> str:
+    """auto = dd: the deterministic double-double transform
+    (design/dd.py), built from IEEE-754 binary64 primitives only — the
+    SAME bits on every platform and bit-identical to the native
+    designer's mirror (native/r8bt_dd.cpp; pinned in
+    tests/test_minphase_dd.py).  It is also the most accurate backend
+    (~1e-29 FFT noise floor vs the 80-bit path's ~1e-16 of the atten-218
+    stop-band).  R8B_MINPHASE_BACKEND in {auto, dd, ld, f64} overrides:
+    ld = the 80-bit long-double path (x86 only; the round-2 default),
+    f64 = reference-equivalent behavior with its documented high-atten
+    randomness (CDSPFIRFilter.h:40-46) — both kept for comparison
+    tests."""
+    b = os.environ.get("R8B_MINPHASE_BACKEND", "auto")
+    if b == "auto":
+        return "dd"
+    if b not in ("ld", "dd", "f64"):
+        raise ValueError(f"R8B_MINPHASE_BACKEND={b!r}")
+    return b
+
+
+def _min_phase_dd(kernel: np.ndarray, n: int, n2: int) -> np.ndarray:
+    """Deterministic double-double cepstral transform (design/dd.py,
+    design/ddfft.py; mirrored bit-for-bit by native/r8bt_dd.cpp).  Used
+    where long double is plain binary64 — there this is the only way to
+    keep min-phase designs reproducible across implementations; its
+    ~1e-29 FFT noise floor is in fact ~1e10x below the 80-bit path's."""
+    from . import dd
+    from .ddfft import CDD, cfft_dd
+
+    kernel_len = kernel.shape[0]
+    tiny = np.float64(np.finfo(np.float64).tiny)  # log(0) guard
+
+    buf = CDD.zeros(n)
+    buf.re.hi[:kernel_len] = kernel
+    spec = cfft_dd(buf)
+
+    re = dd.DD(spec.re.hi[: n2 + 1], spec.re.lo[: n2 + 1])
+    im = dd.DD(spec.im.hi[: n2 + 1], spec.im.lo[: n2 + 1])
+    mag = dd.sqrt(dd.add(dd.sqr(re), dd.sqr(im)))
+    dc_val = dd.DD(spec.re.hi[0], spec.re.lo[0])
+    nyq_val = dd.DD(spec.re.hi[n2], spec.re.lo[n2])
+
+    logmag = dd.log(dd.add(mag, dd.dd_from(np.full(n2 + 1, tiny))))
+    dc_abs = dd.DD(np.abs(dc_val.hi), np.where(dc_val.hi < 0,
+                                               -dc_val.lo, dc_val.lo))
+    nyq_abs = dd.DD(np.abs(nyq_val.hi), np.where(nyq_val.hi < 0,
+                                                 -nyq_val.lo, nyq_val.lo))
+    l0 = dd.log(dd.add(dc_abs, dd.dd_from(tiny)))
+    ln = dd.log(dd.add(nyq_abs, dd.dd_from(tiny)))
+    logmag.hi[0], logmag.lo[0] = l0.hi, l0.lo
+    logmag.hi[n2], logmag.lo[n2] = ln.hi, ln.lo
+
+    # cep = irfft(logmag): even-symmetric real spectrum -> real cepstrum
+    full = CDD.zeros(n)
+    full.re.hi[: n2 + 1] = logmag.hi
+    full.re.lo[: n2 + 1] = logmag.lo
+    full.re.hi[n2 + 1 :] = logmag.hi[1:n2][::-1]
+    full.re.lo[n2 + 1 :] = logmag.lo[1:n2][::-1]
+    cep_c = cfft_dd(full, inverse=True)
+
+    # discrete Hilbert window (CDSPRealFFT.h:737-749) on the real part
+    cep = CDD.zeros(n)
+    cep.re.hi[1:n2] = cep_c.re.hi[1:n2]
+    cep.re.lo[1:n2] = cep_c.re.lo[1:n2]
+    cep.re.hi[n2 + 1 :] = -cep_c.re.hi[n2 + 1 :]
+    cep.re.lo[n2 + 1 :] = -cep_c.re.lo[n2 + 1 :]
+    theta_c = cfft_dd(cep)
+    theta = dd.DD(theta_c.im.hi[: n2 + 1], theta_c.im.lo[: n2 + 1])
+
+    s, c = dd.sincos(theta)
+    out_re = dd.mul(mag, c)
+    out_im = dd.mul(mag, s)
+    out_re.hi[0], out_re.lo[0] = dc_val.hi, dc_val.lo
+    out_im.hi[0], out_im.lo[0] = 0.0, 0.0
+    out_re.hi[n2], out_re.lo[n2] = nyq_val.hi, nyq_val.lo
+    out_im.hi[n2], out_im.lo[n2] = 0.0, 0.0
+
+    full = CDD.zeros(n)
+    full.re.hi[: n2 + 1] = out_re.hi
+    full.re.lo[: n2 + 1] = out_re.lo
+    full.im.hi[: n2 + 1] = out_im.hi
+    full.im.lo[: n2 + 1] = out_im.lo
+    full.re.hi[n2 + 1 :] = out_re.hi[1:n2][::-1]
+    full.re.lo[n2 + 1 :] = out_re.lo[1:n2][::-1]
+    full.im.hi[n2 + 1 :] = -out_im.hi[1:n2][::-1]
+    full.im.lo[n2 + 1 :] = -out_im.lo[1:n2][::-1]
+    res = cfft_dd(full, inverse=True)
+    return dd.to_f64(dd.DD(res.re.hi[:kernel_len], res.re.lo[:kernel_len]))
 
 
 def min_phase_transform(
@@ -65,9 +161,14 @@ def min_phase_transform(
     n = 1 << len_bits
     n2 = n >> 1
 
+    backend = _backend()
+    if backend == "dd":
+        out = _min_phase_dd(kernel, n, n2)
+        return out, calc_fir_group_delay(out, 0.0)
+
     from .ldfft import HAVE_LONGDOUBLE, fft_ld
 
-    if HAVE_LONGDOUBLE:
+    if backend == "ld" and HAVE_LONGDOUBLE:
         # log(0) guard: the smallest normal of the platform's long double
         # (x86 80-bit: ~3.36e-4932; double-double: ~f64 tiny).  A literal
         # like 1e-4000 would silently underflow to 0 where long double has

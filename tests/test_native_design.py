@@ -11,12 +11,15 @@ designers to each other:
     (CDSPFIRFilter.h:222-448) in f64, so only libm-vs-numpy rounding may
     differ;
   * minimum-phase plans: both designers run the cepstral transform in
-    80-bit long double (design/ldfft.py; native minPhaseTransform), a
+    deterministic double-double (design/dd.py; native/r8bt_dd.cpp —
+    bit-identical across the two, tests/test_minphase_dd.py), a
     designed improvement over the reference, whose f64 transform skews
     "purely at random" at high atten (CDSPFIRFilter.h:40-46) — so plans
     stay reproducible at EVERY supported atten: plan integers exact,
-    taps within the f64 kernel-design parity floor (measured 1.8e-7 at
-    atten 180, 8e-6 at 218), outputs within -70 dB at lag 0;
+    taps within the f64 kernel-design parity floor (the input kernels
+    differ by ~1 ulp of libm window/sinc rounding; measured 1.8e-7 at
+    atten 180, 8e-6 at 218 with the round-2 ld backend — dd is tighter),
+    outputs within -70 dB at lag 0;
   * a natively-designed engine must produce the same audio as a
     Python-designed one.
 

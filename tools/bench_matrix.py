@@ -75,6 +75,8 @@ ACCURACY_RUNS = [
     ("acc_dsd", ["--src", "2822400", "--dst", "96000", "--atten", "150",
                  "--seconds", "0.25", "--channels", "2",
                  "--configs", "fast"], 2400),
+    # minimum-phase chain (dd-designed kernels, round 3+) on chip
+    ("acc_minphase", ["--phase", "1", "--configs", "fast,high"], 1800),
 ]
 
 
