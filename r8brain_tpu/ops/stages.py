@@ -1302,6 +1302,7 @@ class FracPolyExec:
         self.spec = spec
         self.dtype = jnp.dtype(dtype)
         tab = np.asarray(spec.bank.table, dtype=np.float64)  # [rows, fl, 3]
+        self.tab64 = tab  # host f64 spline planes (banded flt build)
         self.c0 = tab[:, :, 0].astype(dtype)
         self.c1 = tab[:, :, 1].astype(dtype)
         self.c2 = tab[:, :, 2].astype(dtype)
@@ -1341,16 +1342,14 @@ class FracPolyExec:
         return stage_out_len(self.spec, n_in)
 
     def host_positions(self, M: int):
-        """(window_start[int32], frac_index[int32], poly_t[f32]) for outputs
-        [0, M), computed host-side in f64."""
+        """(window_start[int32], frac_index[int32], poly_t[f64]) for outputs
+        [0, M), computed host-side in f64 (callers cast t where needed)."""
         s, f = frac_positions(self.spec, 0, M)
         fr = f * self.fracs
         fti = np.floor(fr).astype(np.int64)
         t = (fr - fti).astype(np.float64)
         start = s - self.fll
-        return (start.astype(np.int32), fti.astype(np.int32),
-                t.astype(np.float32 if self.dtype == jnp.float32
-                         else np.float64))
+        return start.astype(np.int32), fti.astype(np.int32), t
 
     def apply(self, x: jnp.ndarray) -> jnp.ndarray:
         spec = self.spec
@@ -1369,7 +1368,7 @@ class FracPolyExec:
         xp = jnp.pad(x.astype(self.dtype), ((0, 0), (pad_l, pad_r)))
         start = jnp.asarray(start_np + pad_l)
         fti = jnp.asarray(fti_np)
-        t = jnp.asarray(t_np)
+        t = jnp.asarray(t_np.astype(self.dtype))
         c0 = jnp.asarray(self.c0)[fti]  # [M, fl] (device gather)
         c1 = jnp.asarray(self.c1)[fti]
         c2 = jnp.asarray(self.c2)[fti]
@@ -1399,17 +1398,23 @@ class FracPolyExec:
 
         pad_r = max(0, need_len - (N + pad_l))
         xp = jnp.pad(x.astype(self.dtype), ((0, 0), (pad_l, pad_r)))
-        c0t = jnp.asarray(self.c0)
-        c1t = jnp.asarray(self.c1)
-        c2t = jnp.asarray(self.c2)
         iota_w = jnp.arange(W, dtype=jnp.int32)
         fti2 = fti_np.reshape(n_grp, G)
         t2 = t_np.reshape(n_grp, G)
+        tb = self.tab64
         outs = []
         for g0, nloc, A, off in chunks:
-            fti_c = jnp.asarray(fti2[g0 : g0 + nloc])
-            t_c = jnp.asarray(t2[g0 : g0 + nloc])[..., None]
-            flt = c0t[fti_c] + (c1t[fti_c] + c2t[fti_c] * t_c) * t_c
+            # the spline filter values are data-INDEPENDENT (positions are
+            # host f64), so evaluate them on host in f64 and embed as a
+            # program literal — the device table gathers (TPU gathers run
+            # ~10x under DMA bandwidth) and the per-call polynomial eval
+            # disappear, and the literal is exactly the f64 value rounded
+            # once to the compute dtype
+            fc = fti2[g0 : g0 + nloc]
+            tc = t2[g0 : g0 + nloc][..., None]
+            flt_np = (tb[fc, :, 0]
+                      + (tb[fc, :, 1] + tb[fc, :, 2] * tc) * tc)
+            flt = jnp.asarray(flt_np.astype(self.dtype))
             off_d = jnp.asarray(off)  # [nloc, G]
             # banded operator R[m, w, g]: flt rows one-hot-placed at off
             R = jnp.zeros((nloc, G, W), dtype=self.dtype)
