@@ -32,6 +32,7 @@
 #include <cmath>
 #include <complex>
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <limits>
@@ -235,9 +236,26 @@ std::vector<double> minPhaseTransform(const std::vector<double> &kernel,
      * (CDSPFIRFilter.h:40-46) on ANY ABI, including those where long
      * double is plain binary64 (MSVC x64, some ARM EABIs).
      * R8BT_MINPHASE_BACKEND in {dd, ld} overrides (the ld path is the
-     * round-2 default, kept for comparison tests). */
+     * round-2 default, kept for comparison tests); when unset, the
+     * Python-side R8B_MINPHASE_BACKEND is honored too so one export
+     * drives both designers in a comparison run.  Unknown values (incl.
+     * Python's f64, which has no native counterpart) warn once on
+     * stderr and use dd — never a silent different backend. */
     const char *be = std::getenv("R8BT_MINPHASE_BACKEND");
-    const bool useDD = !(be && std::strcmp(be, "ld") == 0);
+    if (!be) be = std::getenv("R8B_MINPHASE_BACKEND");
+    bool useDD = true;
+    if (be && std::strcmp(be, "ld") == 0) {
+        useDD = false;
+    } else if (be && std::strcmp(be, "dd") != 0 &&
+               std::strcmp(be, "auto") != 0) {
+        static bool warned = false;
+        if (!warned) {
+            std::fprintf(stderr,
+                         "r8bt: unknown MINPHASE_BACKEND '%s' (native "
+                         "supports dd/ld); using dd\n", be);
+            warned = true;
+        }
+    }
     if (useDD) {
         std::vector<double> out =
             r8bt_dd::minPhaseTransformDD(kernel, lenMult);

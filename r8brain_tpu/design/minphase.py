@@ -168,7 +168,16 @@ def min_phase_transform(
 
     from .ldfft import HAVE_LONGDOUBLE, fft_ld
 
-    if backend == "ld" and HAVE_LONGDOUBLE:
+    if backend == "ld" and not HAVE_LONGDOUBLE:
+        # an explicit ld request must not silently degrade to the f64
+        # reference-randomness path (it would poison dd-vs-ld comparisons,
+        # the env var's documented purpose)
+        raise RuntimeError(
+            "R8B_MINPHASE_BACKEND=ld requested but this ABI's long double "
+            "is plain binary64; use the default dd backend (or f64 for the "
+            "reference-equivalent comparison)")
+
+    if backend == "ld":
         # log(0) guard: the smallest normal of the platform's long double
         # (x86 80-bit: ~3.36e-4932; double-double: ~f64 tiny).  A literal
         # like 1e-4000 would silently underflow to 0 where long double has

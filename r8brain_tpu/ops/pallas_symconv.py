@@ -75,7 +75,6 @@ def _make_kernel(up: int, Q: int, hop: int, Hps, B: int, CT: int,
     # forward reads run one sub-128 offset past Hp on the widest phase;
     # the reverse span never needs more than the frame extent itself
     S = -(-((Q - 1) * hop + Hp_max) // 128) * 128
-    n_in = 1 + up + 2 * up + (2 * up if has_lo else 0)
 
     def kernel(*refs):
         xf_hbm = refs[0]
@@ -159,7 +158,7 @@ def _make_kernel(up: int, Q: int, hop: int, Hps, B: int, CT: int,
                 o_ref[:, base : base + Bh] = oe + oo
                 o_ref[:, base + Bh : base + B] = oe - oo
 
-    return kernel, S, n_in
+    return kernel, S
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -190,8 +189,8 @@ def sym_conv_stage_pallas(xf: jnp.ndarray, xrs, tes_tos, nbp: int, up: int,
         r0s = tuple((0, 0) for _ in range(up))
     nbg = -(-nbp // Q)
     nbp_pad = nbg * Q
-    kernel, S, n_in = _make_kernel(up, Q, hop, tuple(Hps), B, CT, has_lo,
-                                   tuple(r0s), comp, nbp_pad)
+    kernel, S = _make_kernel(up, Q, hop, tuple(Hps), B, CT, has_lo,
+                             tuple(r0s), comp, nbp_pad)
     # callers size the operands so no pad (= full-array copy) runs here:
     # every DMA superset [b0*hop, b0*hop + S) and its reverse twin stay in
     # bounds because L_f >= Hp + 128 for all stage shapes

@@ -520,12 +520,14 @@ class ConvExec:
         except Exception:  # pragma: no cover
             return 0
         interp = getattr(self, "sym_pallas_interpret", False)
-        if not HAVE_PALLAS or (jax.devices()[0].platform == "cpu"
+        # the kernel is Mosaic/TPU-only: any non-TPU backend (CPU, GPU)
+        # must take the XLA fold path unless interpret mode is forced
+        if not HAVE_PALLAS or (jax.devices()[0].platform != "tpu"
                                and not interp):
             return 0
         hop = self.B_sym * self.spec.down
-        if hop % 128:
-            return 0
+        if hop % 128:  # vacuous while B_sym is pinned at 256; guards the
+            return 0   # kernel's DMA alignment if B_sym ever varies
         Hp_max = max(ph["Hp"] for ph in self.toep_sym)
         lo_rows = 0
         if self.precision == "high":
@@ -1402,19 +1404,32 @@ class FracPolyExec:
         fti2 = fti_np.reshape(n_grp, G)
         t2 = t_np.reshape(n_grp, G)
         tb = self.tab64
+        # the spline filter values are data-INDEPENDENT (positions are
+        # host f64), so evaluate them on host in f64 and embed as a
+        # program literal — the device table gathers (TPU gathers run
+        # ~10x under DMA bandwidth) and the per-call polynomial eval
+        # disappear, and the literal is exactly the f64 value rounded
+        # once to the compute dtype.  The literal is O(M*fl) f32, so cap
+        # it (~64 MB) and fall back to the old device-gather build for
+        # very long one-shots, where embedding would bloat the HLO.
+        host_flt = Mp * fl <= 16_000_000
+        if not host_flt:
+            c0t = jnp.asarray(self.c0)
+            c1t = jnp.asarray(self.c1)
+            c2t = jnp.asarray(self.c2)
         outs = []
         for g0, nloc, A, off in chunks:
-            # the spline filter values are data-INDEPENDENT (positions are
-            # host f64), so evaluate them on host in f64 and embed as a
-            # program literal — the device table gathers (TPU gathers run
-            # ~10x under DMA bandwidth) and the per-call polynomial eval
-            # disappear, and the literal is exactly the f64 value rounded
-            # once to the compute dtype
-            fc = fti2[g0 : g0 + nloc]
-            tc = t2[g0 : g0 + nloc][..., None]
-            flt_np = (tb[fc, :, 0]
-                      + (tb[fc, :, 1] + tb[fc, :, 2] * tc) * tc)
-            flt = jnp.asarray(flt_np.astype(self.dtype))
+            if host_flt:
+                fc = fti2[g0 : g0 + nloc]
+                tc = t2[g0 : g0 + nloc][..., None]
+                flt_np = (tb[fc, :, 0]
+                          + (tb[fc, :, 1] + tb[fc, :, 2] * tc) * tc)
+                flt = jnp.asarray(flt_np.astype(self.dtype))
+            else:
+                fti_c = jnp.asarray(fti2[g0 : g0 + nloc])
+                t_c = jnp.asarray(
+                    t2[g0 : g0 + nloc].astype(self.dtype))[..., None]
+                flt = c0t[fti_c] + (c1t[fti_c] + c2t[fti_c] * t_c) * t_c
             off_d = jnp.asarray(off)  # [nloc, G]
             # banded operator R[m, w, g]: flt rows one-hot-placed at off
             R = jnp.zeros((nloc, G, W), dtype=self.dtype)

@@ -81,6 +81,11 @@ ACCURACY_RUNS = [
 
 
 def run_one(label, cmd, env, timeout, out_path):
+    # record the EFFECTIVE config (row overrides + any ambient R8B*_ vars
+    # from the operator's shell) so a polluted environment is visible in
+    # the committed artifact instead of silently altering a row
+    cfg = {k: v for k, v in sorted(env.items())
+           if k.startswith(("R8B_", "R8BT_"))}
     t0 = time.time()
     try:
         r = subprocess.run(cmd, capture_output=True, text=True, env=env,
@@ -99,6 +104,8 @@ def run_one(label, cmd, env, timeout, out_path):
         rec = {"rc": -1, "error": f"timeout after {timeout}s"}
     rec["label"] = label
     rec["wall_s"] = round(time.time() - t0, 1)
+    if cfg:
+        rec["env"] = cfg
     with open(out_path, "a") as f:
         f.write(json.dumps(rec) + "\n")
     print(f"{label:22s} {json.dumps(rec)[:160]}", file=sys.stderr)

@@ -62,23 +62,29 @@ def measure(core, C: int, iters: int):
         return c + jnp.sum(h[:, :2])
 
     float(run(h0, x0, 1))  # compile
-    best = np.inf
-    for attempt in range(6):
-        n = iters * (4 if attempt >= 3 else 1)  # jitter: lengthen the run
-        t1 = time.perf_counter()
-        float(run(h0, x0, 1))
-        t_one = time.perf_counter() - t1
-        t0 = time.perf_counter()
-        acc = float(run(h0, x0, n + 1))
-        t_many = time.perf_counter() - t0
-        assert np.isfinite(acc)
-        dt = (t_many - t_one) / n
-        if 0 < dt < best:
-            best = dt
-        if attempt >= 2 and np.isfinite(best):
-            break
-    assert np.isfinite(best), "timing jitter: no positive dt in 6 attempts"
-    return best, L
+
+    def robust_dt(n: int, tries: int = 3) -> float:
+        """bench.py's discipline: take the MINIMUM anchor and the MINIMUM
+        long run separately, then difference — a tunnel hiccup in one
+        anchor cannot shrink dt (pairing min over per-attempt dt would
+        prefer exactly the attempts whose 1-iter anchor got inflated,
+        systematically UNDERSTATING ms/block in the committed artifact)."""
+        t_ones, t_manys = [], []
+        for _ in range(tries):
+            t1 = time.perf_counter()
+            float(run(h0, x0, 1))
+            t_ones.append(time.perf_counter() - t1)
+            t0 = time.perf_counter()
+            acc = float(run(h0, x0, n + 1))
+            t_manys.append(time.perf_counter() - t0)
+            assert np.isfinite(acc)
+        return (min(t_manys) - min(t_ones)) / n
+
+    dt = robust_dt(iters)
+    if not dt > 0:  # pathological jitter: amortize over a 4x longer run
+        dt = robust_dt(iters * 4)
+    assert dt > 0, "timing jitter: no positive dt"
+    return dt, L
 
 
 def main():
