@@ -18,6 +18,13 @@ cross-product sums into FMAs numpy does not perform; the ONE deliberate
 FMA, two_prod's exact error term, is computed here by Dekker splitting,
 which yields the same exact value as std::fma).
 
+Range envelope: operands must stay within ~[1e-290, 1e154] in magnitude
+(Dekker splitting overflows above; exact product-error terms flush to
+subnormals below) — the transform's value path spans ~[2e-308 only as
+the log(0) guard, which log() handles via exact ldexp rescaling, up to
+~1e6], comfortably inside.  Property-tested across the envelope in
+tests/test_dd_properties.py.
+
 Error-free primitives: Knuth two_sum, Dekker split two_prod
 (Shewchuk, "Adaptive precision floating-point arithmetic", 1997);
 add/mul/div/sqrt follow the QD library's accurate variants (Hida, Li,
