@@ -34,6 +34,20 @@ def test_zerotest_f32_full_620():
                  "--atten", "160", "--n", "12000"]) == 0
 
 
+def test_zerotest_random_ratio_f32():
+    """masstest's randomized NON-integer ratios (which land in the
+    polynomial-interpolator branch the 620-integer sweep never visits)
+    through the production f32 path, round-trip zeroing quality bound."""
+    from tools.zerotest import main
+    assert main(["--impl", "f32", "--cpu", "--random", "150",
+                 "--atten", "160", "--n", "9000"]) == 0
+
+
+def test_zerotest_random_ratio_oracle():
+    from tools.zerotest import main
+    assert main(["--random", "200", "--atten", "160", "--n", "9000"]) == 0
+
+
 def test_snr_full_sweep_oracle():
     from tools.snrtest import main
     assert main(["--step", "6", "--ratios", "8", "--n", "9000"]) == 0

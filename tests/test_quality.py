@@ -85,6 +85,15 @@ def test_latency_query_consistency(cfg):
         assert got < n_out, (cfg, n_out, need, got)
 
 
+def test_zerotest_random_mode_smoke():
+    """Guards tools/zerotest.py --random (the slow tier runs 150+ cases;
+    this pins the mode's plumbing and threshold handling in CI)."""
+    from tools.zerotest import main
+
+    assert main(["--impl", "f32", "--cpu", "--random", "2",
+                 "--atten", "160", "--n", "4000"]) == 0
+
+
 def test_mass_randomized_ratios():
     """masstest.cpp analog: randomized non-integer ratios and chunk sizes
     through oracle streaming; totals must match the closed-form emission

@@ -11,7 +11,13 @@ algebra (models/lengths.py), covered by the pytest suite.
 The pytest suite runs a 20-ratio subset (tests/test_quality.py); this tool
 is the full acceptance sweep.
 
+--random N replaces the integer-ratio sweep with N randomized
+NON-integer ratios (masstest.cpp:111-130's parameter distribution:
+ratio 1+44*rand, random direction, random tb) — in f32 mode these land
+in the polynomial-interpolator branch the integer sweep never visits.
+
 Usage: python tools/zerotest.py [--quick] [--atten 160] [--n 12000]
+                                [--random N] [--impl f32] [--cpu]
 """
 
 import argparse
@@ -35,6 +41,9 @@ def main(argv=None):
                          "path (fused engines) on the current JAX backend")
     ap.add_argument("--cpu", action="store_true",
                     help="force the JAX CPU backend for --impl f32")
+    ap.add_argument("--random", type=int, default=0, metavar="N",
+                    help="N randomized non-integer ratios instead of the "
+                         "620-integer sweep (masstest distribution)")
     args = ap.parse_args(argv)
     if args.cpu:
         import jax
@@ -47,14 +56,20 @@ def main(argv=None):
     from helpers import band_limited_rms_db, lcg_uniform  # noqa: E402
 
     rng = np.random.default_rng(1)
-    ks = range(21, 641, 10 if args.quick else 1)
+    if args.random:
+        # always up-then-down: the zeroing methodology compares the band
+        # that SURVIVES the round trip, so the first hop must not shrink
+        # it (zerotest.cpp:62-84 likewise only upsamples first)
+        cases = [(i, 44100.0, 44100.0 * (1.0 + 44.0 * rng.random()))
+                 for i in range(args.random)]
+    else:
+        cases = [(k, 44100.0, 44100.0 * k / 20.0)
+                 for k in range(21, 641, 10 if args.quick else 1)]
     worst = -1e30
     worst_k = None
     fails = 0
     t0 = time.time()
-    for k in ks:
-        src = 44100.0
-        dst = src * k / 20.0
+    for k, src, dst in cases:
         tb = 0.5 + 4.5 * rng.random()
         x = lcg_uniform(k, args.n)
         if args.impl == "f32":
@@ -85,7 +100,7 @@ def main(argv=None):
             fails += 1
             print(f"  FAIL k={k} tb={tb:.2f}: {d:.1f} dB")
     dt = time.time() - t0
-    n_ratios = len(list(ks))
+    n_ratios = len(cases)
     print(f"{n_ratios} ratios in {dt:.0f}s; worst {worst:.1f} dB at "
           f"k={worst_k} (threshold {-(args.atten - 25.0):.0f} dB); "
           f"{fails} failures")
