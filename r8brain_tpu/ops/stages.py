@@ -1409,9 +1409,20 @@ class FracPolyExec:
         # program literal — the device table gathers (TPU gathers run
         # ~10x under DMA bandwidth) and the per-call polynomial eval
         # disappear, and the literal is exactly the f64 value rounded
-        # once to the compute dtype.  The literal is O(M*fl) f32, so cap
-        # it (~64 MB) and fall back to the old device-gather build for
-        # very long one-shots, where embedding would bloat the HLO.
+        # once to the compute dtype.  Tiered by literal size (~64 MB cap
+        # either way, keeping the HLO bounded for very long one-shots):
+        #   host_R   — embed the WHOLE banded operator R ([sum nloc, W, G]
+        #              f32): the per-call one-hot placement passes (fl
+        #              sweeps over O(M*W) elements, ~2.4 ms/iter of the
+        #              poly chain's 18.7 in the round-3 profile —
+        #              XLA:TPU does NOT hoist them out of a fori_loop
+        #              nor constant-fold tensors this large) disappear;
+        #              the values are identical, placement is exact.
+        #   host_flt — embed only the [M, fl] filter values and place
+        #              them on device (R would bloat the program).
+        #   else     — device table gather fallback.
+        host_R = (Mp * W <= 16_000_000
+                  and os.environ.get("R8BT_POLY_HOSTR", "1") != "0")
         host_flt = Mp * fl <= 16_000_000
         if not host_flt:
             c0t = jnp.asarray(self.c0)
@@ -1424,19 +1435,34 @@ class FracPolyExec:
                 tc = t2[g0 : g0 + nloc][..., None]
                 flt_np = (tb[fc, :, 0]
                           + (tb[fc, :, 1] + tb[fc, :, 2] * tc) * tc)
-                flt = jnp.asarray(flt_np.astype(self.dtype))
+                if not host_R:
+                    flt = jnp.asarray(flt_np.astype(self.dtype))
             else:
                 fti_c = jnp.asarray(fti2[g0 : g0 + nloc])
                 t_c = jnp.asarray(
                     t2[g0 : g0 + nloc].astype(self.dtype))[..., None]
                 flt = c0t[fti_c] + (c1t[fti_c] + c2t[fti_c] * t_c) * t_c
-            off_d = jnp.asarray(off)  # [nloc, G]
-            # banded operator R[m, w, g]: flt rows one-hot-placed at off
-            R = jnp.zeros((nloc, G, W), dtype=self.dtype)
-            for i in range(fl):
-                R = R + flt[..., i : i + 1] * (
-                    iota_w[None, None, :] == (off_d + i)[..., None])
-            R = jnp.swapaxes(R, 1, 2)  # [nloc, W, G]
+            if host_R:
+                # build R[m, w, g] on host: each one-hot placement writes
+                # a distinct w per (m, g, i), so scatter-assign is exact
+                # and bit-identical to the device build (values rounded
+                # once to the compute dtype, placement adds nothing).
+                flt_c = flt_np.astype(self.dtype)
+                R_np = np.zeros((nloc, W, G), dtype=self.dtype)
+                m_i = np.arange(nloc)[:, None]
+                g_i = np.arange(G)[None, :]
+                for i in range(fl):
+                    R_np[m_i, off + i, g_i] = flt_c[..., i]
+                R = jnp.asarray(R_np)
+            else:
+                off_d = jnp.asarray(off)  # [nloc, G]
+                # banded operator R[m, w, g]: flt rows one-hot-placed at
+                # off
+                R = jnp.zeros((nloc, G, W), dtype=self.dtype)
+                for i in range(fl):
+                    R = R + flt[..., i : i + 1] * (
+                        iota_w[None, None, :] == (off_d + i)[..., None])
+                R = jnp.swapaxes(R, 1, 2)  # [nloc, W, G]
             o = banded_contract(xp[:, A:], R, nloc, S, W,
                                 jax.lax.Precision.HIGHEST)
             outs.append(o.reshape(C, nloc * G))
