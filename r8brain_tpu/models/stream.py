@@ -64,7 +64,9 @@ class _PeriodStream:
             bld = functools.partial(
                 build_exec, conv_engine=getattr(rs, "conv_engine", "auto"),
                 frac_engine=getattr(rs, "frac_engine", "auto"))
-            fused_parent = any(isinstance(e, FusedUpExec) for e in rs.execs)
+            from ..ops.hb_cascade import HBUpCascadeExec
+            fused_parent = any(isinstance(e, (FusedUpExec, HBUpCascadeExec))
+                               for e in rs.execs)
             sub = Plan(rs.plan.src_rate, rs.plan.dst_rate,
                        rs.plan.trans_band, rs.plan.atten, rs.plan.phase,
                        tuple(stages), rs.plan.latency_frac)

@@ -68,8 +68,10 @@ def _poly_pair_fusable(a, b, dtype, engine, poly) -> bool:
 def fuse_stage_list(plan: Plan, dtype, precision, build_exec,
                     engine: str = "auto", poly: bool = False):
     """Executor list for the plan with every adjacent [conv(up, down=1),
-    whole-frac] pair replaced by a FusedUpExec (and every [conv(down=1),
-    poly-frac] pair by a FusedPolyExec on f32).  Mid-chain pairs are valid:
+    whole-frac] pair replaced by a FusedUpExec, every run of >= 2
+    consecutive half-band upsamplers by an HBUpCascadeExec (f32; one
+    polyphase matmul, ops/hb_cascade.py), and every [conv(down=1),
+    poly-frac] pair by a FusedPolyExec on f32.  Mid-chain pairs are valid:
     a pair's input stream starts at absolute zero of ITS input (upstream
     stages emit from stream start), which is exactly the fused executor's
     stream-start semantics.  Returns None if nothing fuses."""
@@ -77,8 +79,14 @@ def fuse_stage_list(plan: Plan, dtype, precision, build_exec,
     execs = []
     i = 0
     fused_any = False
+    from .hb_cascade import HBUpCascadeExec, hb_up_run_fusable
     while i < len(stages):
-        if i + 1 < len(stages) and _pair_fusable(stages[i], stages[i + 1]):
+        hb_run = hb_up_run_fusable(stages, i, dtype, engine)
+        if hb_run:
+            execs.append(HBUpCascadeExec(stages[i : i + hb_run], dtype))
+            fused_any = True
+            i += hb_run
+        elif i + 1 < len(stages) and _pair_fusable(stages[i], stages[i + 1]):
             sub = Plan(plan.src_rate, plan.dst_rate, plan.trans_band,
                        plan.atten, plan.phase,
                        (stages[i], stages[i + 1]),
