@@ -63,12 +63,72 @@ def test_sharded_parity(cfg, mesh_shape):
     assert d < -260.0, f"{label}/{kind}: {d:.1f} dB"
 
 
-def test_poly_time_sharding_rejected():
-    rs = Resampler(44100, 96001, 2.0, 160.0, 0, dtype="float64")
+POLY_CONFIGS = [
+    # (label, src, dst, atten, n) — poly-interpolator plans across the
+    # chain shapes the planner emits: frac mid-chain with a conv suffix,
+    # frac-last downsampling, HB stages before/after the interpolator
+    ("poly_up_suffix", 44100, 96001, 180.15, 4410),
+    ("poly_down", 96001, 44100, 180.15, 4410),
+    ("poly_near_1x", 44100, 48001, 160.0, 4410),
+    ("poly_big_up_hb", 44100, 352801, 140.0, 2205),
+    ("poly_big_down_hb", 352801, 44100, 140.0, 24000),
+]
+
+
+@pytest.mark.parametrize("cfg", POLY_CONFIGS, ids=[c[0] for c in POLY_CONFIGS])
+@pytest.mark.parametrize("mesh_shape", ["t4", "t8", "ch2t4"])
+def test_poly_time_sharding_parity(cfg, mesh_shape):
+    """Irrational-ratio (polynomial-interpolator) plans time-shard via the
+    split-chain program: per-shard closed-form read positions
+    (CDSPFracInterpolator.h:907-919) passed as sharded device data, input
+    halos via ppermute.  f64 output must match the unsharded chain to
+    reduction-order noise (VERDICT r3 missing #1)."""
+    label, src, dst, atten, n = cfg
+    mesh = {"t4": ((4,), ("t",)), "t8": ((8,), ("t",)),
+            "ch2t4": ((2, 4), ("ch", "t"))}[mesh_shape]
+    mesh = _mesh(*mesh)
+    rs = Resampler(src, dst, 2.0, atten, 0, dtype="float64")
     assert chain_shift_period(rs.plan) is None
+    C = 3
+    x = np.stack([lcg_uniform(s + 7, n) for s in range(C)])
+    out_len = rs.default_out_len(n)
+    ref = np.asarray(rs.oneshot(x, out_len))
+    srs = ShardedResampler(rs, mesh)
+    y = np.asarray(srs.oneshot(x, out_len))
+    assert y.shape == ref.shape
+    d = rms_db(y - ref)
+    assert d < -260.0, f"{label}/{mesh_shape}: {d:.1f} dB"
+
+
+def test_poly_time_sharding_f32_oracle():
+    """Sharded poly output must hold the accuracy class of its unsharded
+    configuration vs the f64 oracle: the backend-independent guarantee
+    engine (precision="high" + conv_engine="fft", with the sharded
+    gather-dot accumulating in df32) meets the -141 dB golden class; the
+    plain fast f32 path meets the same -115 dB CPU noise-floor bound as
+    test_tpu_exec.test_f32_accuracy (chip-measured at -143.2 dB,
+    BENCHMATRIX acc_poly)."""
+    from r8brain_tpu.models.oracle import OracleResampler
+
+    n, C = 12000, 2
+    x = np.stack([lcg_uniform(s + 5, n) for s in range(C)]).astype(np.float32)
+    orc = OracleResampler(44100, 96001, trans_band=2.0, atten=180.15, phase=0)
     mesh = _mesh((4,), ("t",))
-    with pytest.raises(ValueError):
-        ShardedResampler(rs, mesh)
+
+    def run(**kw):
+        rs = Resampler(44100, 96001, 2.0, 180.15, 0, dtype="float32", **kw)
+        out_len = rs.default_out_len(n)
+        y = np.asarray(ShardedResampler(rs, mesh).oneshot(x, out_len),
+                       dtype=np.float64)
+        ref = np.stack([orc.oneshot(np.asarray(x[c], dtype=np.float64),
+                                    out_len) for c in range(C)])
+        d = y - ref
+        return 10.0 * np.log10(np.mean(d * d) / np.mean(ref * ref) + 1e-300)
+
+    hi = run(precision="high", fused=False, conv_engine="fft")
+    assert hi < -141.0, f"sharded poly high/fft vs oracle: {hi:.1f} dB"
+    fast = run()
+    assert fast < -115.0, f"sharded poly fast vs oracle: {fast:.1f} dB"
 
 
 def test_poly_channel_sharding_ok():
