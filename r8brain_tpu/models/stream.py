@@ -180,8 +180,11 @@ class _PolyTailStream:
             self._jits[key] = jax.jit(self._apply)
         return self._jits[key]
 
-    def process_block(self, z: jnp.ndarray) -> np.ndarray:
-        """z: [C, n] fractional-stage input samples -> (outputs numpy)."""
+    def process_block_padded(self, z: jnp.ndarray):
+        """z: [C, n] fractional-stage input samples -> (y[C, cap] device
+        array, count) with valid outputs in y[:, :count] — the fully
+        device-resident form (positions ship as per-block device args;
+        the count is host-known without a device sync)."""
         C, n = z.shape
         if self.skip_left > 0:
             d = min(self.skip_left, n)
@@ -189,7 +192,7 @@ class _PolyTailStream:
             n -= d
             self.skip_left -= d
         if n == 0:
-            return np.zeros((C, 0), dtype=np.float64)
+            return jnp.zeros((C, 0), dtype=self.dtype), 0
         if self.buf is None:
             self.buf = jnp.zeros((C, self.H), dtype=self.dtype)
         window = jnp.concatenate([self.buf, z], axis=1)
@@ -200,7 +203,7 @@ class _PolyTailStream:
         m_avail = stage_out_len(self.spec, self.n_in + self.spec.in_latency)
         count = m_avail - self.m_out
         if count <= 0:
-            return np.zeros((C, 0), dtype=np.float64)
+            return jnp.zeros((C, 0), dtype=self.dtype), 0
         cap = int(math.ceil(
             (n + 1) * self.spec.dst_rate / self.spec.src_rate)) + 2
         cap = max(cap, count)
@@ -212,7 +215,8 @@ class _PolyTailStream:
         start_rel = (s - self.fll - base).astype(np.int32)
         assert start_rel.min() >= 0, "poly window underrun"
         assert start_rel.max() + self.exec.fl <= window.shape[1]
-        # pad to capacity for shape stability
+        # pad to capacity for shape stability (padded columns recompute
+        # the last valid output; callers ignore them)
         pad = cap - count
         if pad:
             start_rel = np.pad(start_rel, (0, pad), mode="edge")
@@ -222,7 +226,61 @@ class _PolyTailStream:
         y = fn(window, jnp.asarray(start_rel), jnp.asarray(fti),
                jnp.asarray(t))
         self.m_out = m_avail
+        return y, count
+
+    def process_block(self, z: jnp.ndarray) -> np.ndarray:
+        """z: [C, n] fractional-stage input samples -> (outputs numpy)."""
+        y, count = self.process_block_padded(z)
         return np.asarray(y[:, :count])
+
+
+class _SufDeviceReblock:
+    """Device-resident re-blocker feeding a periodic suffix stream.
+
+    The poly tail emits a varying (host-known) count per block; the suffix
+    _PeriodStream needs fixed L2-sample blocks.  A device ring buffer of
+    static shape absorbs the variance: each push writes the PADDED tail
+    output at the current (host-tracked) fill offset via one jitted
+    dynamic_update_slice, then emits as many L2 blocks as are filled.
+    Padded garbage columns are overwritten by the next push before they
+    can be consumed (fill only advances by the valid count).
+    """
+
+    def __init__(self, suf: "_PeriodStream", cap_in: int, dtype):
+        self.suf = suf
+        L2 = suf.L
+        self.L2 = L2
+        self.cap = L2 + 2 * cap_in
+        self.dtype = dtype
+        self._jit_write = jax.jit(
+            lambda buf, y, at: jax.lax.dynamic_update_slice(
+                buf, y, (jnp.zeros((), dtype=at.dtype), at)))
+        self._jit_shift = jax.jit(
+            lambda buf: jnp.concatenate(
+                [buf[:, L2:], jnp.zeros((buf.shape[0], L2), buf.dtype)],
+                axis=1))
+        self.reset()
+
+    def reset(self):
+        self.buf = None
+        self.fill = 0
+
+    def push(self, y_padded: jnp.ndarray, count: int):
+        """y_padded: [C, cap_y] with y[:, :count] valid -> list of suffix
+        output device arrays."""
+        C = y_padded.shape[0]
+        if self.buf is None:
+            self.buf = jnp.zeros((C, self.cap), dtype=self.dtype)
+        if y_padded.shape[1]:
+            at = jnp.asarray(self.fill, dtype=jnp.int32)
+            self.buf = self._jit_write(self.buf, y_padded, at)
+        self.fill += count
+        outs = []
+        while self.fill >= self.L2:
+            outs.append(self.suf.process_block_device(self.buf[:, :self.L2]))
+            self.buf = self._jit_shift(self.buf)
+            self.fill -= self.L2
+        return outs
 
 
 class StreamResampler:
@@ -286,6 +344,7 @@ class StreamResampler:
         self._tail = _PolyTailStream(stages[pi], rs.dtype)
         self._suf = None
         self._suf_pending = None
+        self._sufdev = None  # device re-blocker, built on first device call
         if suffix:
             speriod = chain_shift_period(_subplan(suffix))
             assert speriod is not None and speriod[0] == 1, \
@@ -305,6 +364,8 @@ class StreamResampler:
             if self._suf is not None:
                 self._suf.reset(self._channels)
                 self._suf_pending = None
+                if self._sufdev is not None:
+                    self._sufdev.reset()
 
     def _emit(self, block_np: np.ndarray) -> np.ndarray:
         x = jnp.asarray(block_np, dtype=self.rs.dtype)
@@ -317,6 +378,14 @@ class StreamResampler:
         y = self._tail.process_block(jnp.asarray(y, dtype=self.rs.dtype))
         if self._suf is None:
             return np.asarray(y, dtype=np.float64)
+        if self._sufdev is not None and self._sufdev.fill:
+            # drain the device re-blocker into the host pending buffer so
+            # process()/flush() can follow process_block_device calls
+            dev = np.asarray(self._sufdev.buf[:, : self._sufdev.fill],
+                             dtype=np.float64)
+            self._suf_pending = dev if self._suf_pending is None else \
+                np.concatenate([self._suf_pending, dev], axis=1)
+            self._sufdev.reset()
         # re-block the variable-count poly output on the suffix grid
         buf = y if self._suf_pending is None else \
             np.concatenate([self._suf_pending, y], axis=1)
@@ -337,11 +406,15 @@ class StreamResampler:
         device array and receive the emitted outputs as a device array —
         no per-block host transfer (the reference has no analog; its
         process() is host-memory by construction, CDSPResampler.h:559-575).
-        Period-mode (rational-ratio) plans only."""
-        if self._mode != "period" or self._core is None:
+
+        Rational-ratio plans emit a fixed count per call.  Polynomial
+        plans emit a varying (host-known, no device sync) count: the tail
+        interpolator runs with per-block device position args, and a
+        suffix — when present — is re-blocked on device through a static
+        ring buffer (_SufDeviceReblock)."""
+        if self._core is None and self._mode == "period":
             raise NotImplementedError(
-                "device-resident streaming requires a rational-ratio "
-                "(period-mode) plan")
+                "device-resident streaming requires a non-empty plan")
         x_block = jnp.asarray(x_block, dtype=self.rs.dtype)
         if x_block.ndim != 2 or x_block.shape[1] != self.block:
             raise ValueError(
@@ -359,9 +432,41 @@ class StreamResampler:
                 f"block has {int(x_block.shape[0])} channels, stream "
                 f"started with {self._channels}")
         self._n_in_total += self.block
-        y = self._core.process_block_device(x_block)
-        self._n_out_total += int(y.shape[-1])
-        return y
+        if self._mode == "period":
+            y = self._core.process_block_device(x_block)
+            self._n_out_total += int(y.shape[-1])
+            return y
+        # poly mode: prefix (device) -> tail with device position args
+        z = self._core.process_block_device(x_block) \
+            if self._core is not None else x_block
+        y, count = self._tail.process_block_padded(z)
+        C = x_block.shape[0]
+        if self._suf is None:
+            out = y[:, :count]
+            self._n_out_total += count
+            return out
+        if self._sufdev is None:
+            cap_in = int(math.ceil(
+                (self._core.out_per_block + 1) * self._tail.spec.dst_rate
+                / self._tail.spec.src_rate)) + 2 if self._core is not None \
+                else int(math.ceil(
+                    (self.block + 1) * self._tail.spec.dst_rate
+                    / self._tail.spec.src_rate)) + 2
+            self._sufdev = _SufDeviceReblock(self._suf, cap_in,
+                                             self.rs.dtype)
+        outs = []
+        if self._suf_pending is not None and self._suf_pending.shape[1]:
+            pend = jnp.asarray(self._suf_pending, dtype=self.rs.dtype)
+            outs += self._sufdev.push(pend, int(pend.shape[1]))
+            self._suf_pending = None
+        outs += self._sufdev.push(y, count)
+        if not outs:
+            out = jnp.zeros((C, 0), dtype=self.rs.dtype)
+        else:
+            out = outs[0] if len(outs) == 1 else \
+                jnp.concatenate(outs, axis=1)
+        self._n_out_total += int(out.shape[1])
+        return out
 
     def process(self, x) -> np.ndarray:
         """x: [C, n] or [n] chunk; returns [C, m] (or [m]) new outputs."""
@@ -425,6 +530,12 @@ class StreamResampler:
                     "n_in": self._suf.n_in,
                     "pending": None if self._suf_pending is None
                     else np.asarray(self._suf_pending),
+                    "dev_fill": 0 if self._sufdev is None
+                    else self._sufdev.fill,
+                    "dev_buf": None if (self._sufdev is None
+                                        or not self._sufdev.fill)
+                    else np.asarray(
+                        self._sufdev.buf[:, : self._sufdev.fill]),
                 }
         return st
 
@@ -455,6 +566,14 @@ class StreamResampler:
                 self._suf.n_in = sf["n_in"]
                 self._suf_pending = None if sf["pending"] is None \
                     else np.asarray(sf["pending"])
+                if self._sufdev is not None:
+                    self._sufdev.reset()
+                if sf.get("dev_buf") is not None:
+                    # restore the device re-block remainder as host
+                    # pending (re-absorbed on the next device call)
+                    self._suf_pending = sf["dev_buf"] \
+                        if self._suf_pending is None else np.concatenate(
+                            [self._suf_pending, sf["dev_buf"]], axis=1)
 
     def flush(self, out_len: Optional[int] = None) -> np.ndarray:
         """Feed zeros until ``out_len`` total outputs have been produced

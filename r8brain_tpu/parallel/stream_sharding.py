@@ -26,10 +26,18 @@ re-emitted by call 1.
 
 Output equals the unsharded StreamResampler / Resampler.oneshot stream
 exactly in f64 and to f32 round-off under f32 (tests/test_sharding_stream.py).
+
+Polynomial-interpolator (irrational-ratio) plans stream sharded too, via
+``_PolyShardedStream``: the same [history | segment] window and carry, but
+each call the host assigns every device a contiguous output range bounded
+by what its window can causally produce (read positions are closed-form in
+the absolute output index) and ships positions + spline filter values as
+per-call sharded device data.
 """
 
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 import jax
@@ -43,7 +51,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.lengths import chain_out_len
 from ..models.resampler import Resampler
-from .sharding import chain_input_span, chain_shift_period
+from .sharding import chain_input_span, chain_shift_period, split_poly_chain
 
 __all__ = ["ShardedStreamResampler"]
 
@@ -52,15 +60,26 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
-class ShardedStreamResampler:
+def ShardedStreamResampler(rs: Resampler, mesh: Mesh, ch_axis: str = "ch",
+                           t_axis: str = "t", seg_len: int = 8192):
     """Push-mode streaming over a (ch, t) mesh.
 
     Feed fixed-size blocks of ``self.block`` input samples per call
     (``process_block``); each call returns the newly computable outputs.
-    Requires a whole-stepping (rational-ratio) plan when the ``t`` axis is
-    larger than 1 (same constraint as ShardedResampler); channel-only
-    meshes accept any periodic plan.
+    Rational-ratio plans stream through the period-aligned program
+    (:class:`_RationalShardedStream`); polynomial-interpolator plans whose
+    interpolator is the final stage stream through the split-chain program
+    with per-call host-computed positions (:class:`_PolyShardedStream`).
+    Poly plans with a periodic suffix (intermediate-interpolation branch)
+    stream unsharded via models.stream.StreamResampler.
     """
+    if chain_shift_period(rs.plan) is None:
+        return _PolyShardedStream(rs, mesh, ch_axis, t_axis, seg_len)
+    return _RationalShardedStream(rs, mesh, ch_axis, t_axis, seg_len)
+
+
+class _RationalShardedStream:
+    """Period-aligned sharded streaming for whole-stepping plans."""
 
     def __init__(self, rs: Resampler, mesh: Mesh, ch_axis: str = "ch",
                  t_axis: str = "t", seg_len: int = 8192):
@@ -71,12 +90,7 @@ class ShardedStreamResampler:
         self.n_ch = mesh.shape[ch_axis] if self.ch_axis else 1
         self.n_t = mesh.shape[t_axis] if self.t_axis else 1
         period = chain_shift_period(rs.plan)
-        if period is None:
-            raise ValueError(
-                "sharded streaming requires a whole-stepping (rational "
-                "ratio) plan; polynomial-interpolator plans stream "
-                "channel-sharded through StreamResampler with sharded "
-                "device arrays")
+        assert period is not None
         p_in, p_out = period
         span = chain_input_span(rs.plan)
         stages = rs.plan.stages
@@ -268,6 +282,390 @@ class ShardedStreamResampler:
             jnp.asarray(st["carry"], dtype=self.dtype), self._c_sharding)
         self.n_in = st["n_in"]
         self.n_out = st["n_out"]
+        self._channels = st["channels"]
+        self._pending = None if st["pending"] is None \
+            else np.asarray(st["pending"])
+
+
+class _PolyShardedStream:
+    """Sharded push-mode streaming for polynomial-interpolator plans.
+
+    One SPMD program serves every call: device k's window is
+    [history H | segment L], where the history is the previous block's
+    global tail (device 0, via the replicated carry) or the left neighbor's
+    segment tail (ppermute).  The interpolator's read positions are
+    closed-form in the absolute output index (CDSPFracInterpolator.h:
+    907-919), so each call the host assigns every device a contiguous
+    FINAL-output range bounded by what its own window can causally
+    produce, computes the interpolator positions + f64 spline filter
+    values backing that range, and passes them as device data padded to
+    fixed per-device caps (padded columns read the zero pad with zero
+    filters).  A periodic suffix (the intermediate-interpolation branch)
+    has shift period (1, sp_out) — pure integer upsampling — so each
+    device runs the suffix on its own frac window and takes its outputs
+    at a per-device offset w passed as sharded data.  Call 0 is selected
+    by a traced flag: device 0's window places the input at the true
+    stream origin ([x | zeros]) so the stage latency skips see the
+    reference's zero history.
+    """
+
+    def __init__(self, rs: Resampler, mesh: Mesh, ch_axis: str = "ch",
+                 t_axis: str = "t", seg_len: int = 8192):
+        import functools
+
+        from ..models.lengths import chain_in_for_out
+        from ..ops.stages import build_exec
+        from .sharding import _subplan
+
+        self.rs = rs
+        self.mesh = mesh
+        self.ch_axis = ch_axis if ch_axis in mesh.axis_names else None
+        self.t_axis = t_axis if t_axis in mesh.axis_names else None
+        self.n_ch = mesh.shape[ch_axis] if self.ch_axis else 1
+        self.n_t = mesh.shape[t_axis] if self.t_axis else 1
+        pre, fs, post = split_poly_chain(rs.plan)
+        pre_p = chain_shift_period(_subplan(rs.plan, pre)) if pre else (1, 1)
+        post_p = chain_shift_period(_subplan(rs.plan, post)) if post \
+            else (1, 1)
+        if pre_p is None or post_p is None:
+            raise ValueError("non-periodic stages around the interpolator")
+        assert post_p[0] == 1, \
+            "suffix after a polynomial stage must be integer-upsampling"
+        pp_in, pp_out = pre_p
+        self.sp_out = sp_out = post_p[1]
+        span_pre = chain_input_span(_subplan(rs.plan, pre)) if pre else 1
+        span_post = chain_input_span(_subplan(rs.plan, post)) if post else 0
+        bld = functools.partial(
+            build_exec, conv_engine=getattr(rs, "conv_engine", "auto"),
+            frac_engine=getattr(rs, "frac_engine", "auto"))
+        pre_execs = [bld(s, rs.dtype, rs.precision) for s in pre]
+        post_execs = [bld(s, rs.dtype, rs.precision) for s in post]
+        self.post = post
+        self.fs = fs
+        self.fl = fl = fs.filter_len
+        self.fll = fl // 2 - 1
+        self.in_lat = fs.in_latency
+        self.pp_in, self.pp_out = pp_in, pp_out
+        self.settle = -(-(span_pre * pp_out) // pp_in) + 2
+        self.Wf_in = span_post + 16 if post else 0
+        self.Wf_out = self.Wf_in * sp_out
+        r_frac = fs.src_rate / fs.dst_rate
+        # H must let device k's first assigned output — whose interpolator
+        # reads start ~ (suffix warmup + suffix latency)*r_frac + fl
+        # before the previous device's coverage limit (itself short of the
+        # window end by the prefix latency) — stay past settle; the
+        # latency terms are taken from the exact length algebra and the
+        # whole hand-off is then VALIDATED by dry-running the per-call
+        # assignment below, growing H until it holds
+        lam_pre = chain_in_for_out(pre, 1) if pre else 0
+        lam_post = chain_in_for_out(post, 1) if post else 0
+        reach_mid = fl + 66 + int(math.ceil(
+            (self.Wf_in + lam_post) * r_frac))
+        H = _round_up(span_pre + 64 + lam_pre
+                      + (-(-reach_mid * pp_in // pp_out)), pp_in)
+        ratio = rs.plan.dst_rate / rs.plan.src_rate
+        self.dtype = rs.dtype
+        self._high = (rs.precision == "high"
+                      and jnp.dtype(rs.dtype) == jnp.float32)
+        for _ in range(10):
+            # call-0 device-0 must emit at least the suffix warmup before
+            # device 1 takes over (its window start a_k must be >= 0)
+            L_min = int(math.ceil((self.Wf_out + sp_out + 64) / ratio)) \
+                + span_pre + H if post else 0
+            L = _round_up(max(seg_len, H, 2 * pp_in, L_min), pp_in)
+            self.H, self.L = H, L
+            self.block = self.n_t * L
+            self.midlen = chain_out_len(pre, H + L) if pre else H + L
+            self.padl = fl + 4
+            self.M_cap = int(math.ceil((H + L) * ratio)) + 8
+            if post:
+                self.Fc_cap = chain_in_for_out(
+                    post, self.Wf_out + sp_out + self.M_cap) + 2
+                self.plen = chain_out_len(post, self.Fc_cap)
+                assert self.plen >= self.Wf_out + sp_out + self.M_cap
+            else:
+                self.Fc_cap = self.M_cap
+            # device-0 call-0 window is [x | zeros]: mid j is true-stream
+            # only while its input dependency stays inside the L real
+            # samples
+            lo, hi = 0, self.midlen
+            while lo < hi:
+                m = (lo + hi + 1) // 2
+                if (chain_in_for_out(pre, m) if pre else m) <= L:
+                    lo = m
+                else:
+                    hi = m - 1
+            self.valid_hi0 = lo
+            # dry-run the host assignment for the start + two steady calls
+            # (the geometry is call-invariant past that, drift bounded by
+            # one sample per device)
+            self.n_out = 0
+            try:
+                for c in range(3):
+                    _, _, _, counts = self._positions(c)
+                    self.n_out += int(sum(counts))
+                break
+            except RuntimeError:
+                H = _round_up(H + max(H // 4, pp_in), pp_in)
+        else:
+            raise RuntimeError("poly stream geometry did not converge")
+
+        n_t, t_ax, padl = self.n_t, self.t_axis, self.padl
+        M_cap = self.M_cap
+
+        def prog(xl, carry, rp, fv, w, is_start):
+            rp = rp[0]
+            fv = fv[0]
+            if n_t > 1:
+                left = jax.lax.ppermute(
+                    xl[:, L - H:], t_ax,
+                    [(i, i + 1) for i in range(n_t - 1)])
+                k = jax.lax.axis_index(t_ax)
+                hist = jnp.where(k == 0, carry, left)
+                start0 = is_start & (k == 0)
+            else:
+                hist = carry
+                start0 = is_start
+            win_norm = jnp.concatenate([hist, xl], axis=1)
+            win_s = jnp.concatenate(
+                [xl, jnp.zeros((xl.shape[0], H), dtype=xl.dtype)], axis=1)
+            window = jnp.where(start0, win_s, win_norm)
+            mid = window
+            for e in pre_execs:
+                mid = e.apply(mid)
+            mid = jnp.concatenate(
+                [jnp.zeros((mid.shape[0], padl), dtype=mid.dtype), mid],
+                axis=1)
+            if fv.ndim == 3:  # df32 accumulation (precision="high")
+                from ..ops.dfloat import df_add, df_add_f, df_mul_ff
+                acc = None
+                for i in range(fl):
+                    xi = jnp.take(mid, rp + i, axis=1)
+                    p = df_mul_ff(xi, fv[None, :, i, 0])
+                    p = df_add_f(p, xi * fv[None, :, i, 1])
+                    acc = p if acc is None else df_add(acc, p)
+                y = acc[0] + acc[1]
+            else:
+                y = None
+                for i in range(fl):
+                    c = fv[None, :, i] * jnp.take(mid, rp + i, axis=1)
+                    y = c if y is None else y + c
+            if post_execs:
+                for e in post_execs:
+                    y = e.apply(y)
+                y = jax.lax.dynamic_slice(
+                    y, (jnp.zeros((), dtype=w.dtype), w[0]),
+                    (y.shape[0], M_cap))
+            return y
+
+        spec_x = P(self.ch_axis, self.t_axis)
+        spec_c = P(self.ch_axis, None)
+        spec_rp = P(self.t_axis, None)
+        spec_fv = P(self.t_axis, None, None)
+        spec_w = P(self.t_axis)
+        self._jit = jax.jit(shard_map(
+            prog, mesh=mesh,
+            in_specs=(spec_x, spec_c, spec_rp, spec_fv, spec_w, P()),
+            out_specs=spec_x, check_vma=False))
+        self._x_sharding = NamedSharding(mesh, spec_x)
+        self._c_sharding = NamedSharding(mesh, spec_c)
+        self.reset()
+
+    # -- host-side per-call output assignment -----------------------------
+
+    def _max_n_for_read(self, lim: int) -> int:
+        """Largest output index n with integer read position s(n) <= lim
+        (guarded closed-form search, models/lengths.py semantics)."""
+        from ..models.lengths import _frac_read_pos_scalar as srd
+        fs = self.fs
+        r = fs.src_rate / fs.dst_rate
+        shift = fs.init_frac_pos * fs.dst_rate / fs.src_rate
+        n = int(math.floor((lim + 1) / r - shift))
+        while n >= 0 and srd(fs, n) > lim:
+            n -= 1
+        while srd(fs, n + 1) <= lim:
+            n += 1
+        return n
+
+    def _positions(self, call_idx: int):
+        """(rp[n_t, Fc_cap] i32, fv, w[n_t] i32, counts[n_t]) for this
+        call.  Per device: final-output range [b, b+cnt) mapped to a
+        suffix window starting at frac index a with emission offset
+        w = b - a*sp_out; interpolator positions computed for frac
+        range [a, a+Fc_cap) (edge-clamped past the consumed count)."""
+        from ..models.lengths import chain_in_for_out, frac_positions
+        n_t, H, L = self.n_t, self.H, self.L
+        fl, fll, in_lat = self.fl, self.fll, self.in_lat
+        post, sp_out, Wf_out = self.post, self.sp_out, self.Wf_out
+        B = self.block
+        rp_rows, fv_rows, w_rows, counts = [], [], [], []
+        b = self.n_out
+        for k in range(n_t):
+            start0 = call_idx == 0 and k == 0
+            org_in = 0 if start0 else call_idx * B + k * L - H
+            org_mid = org_in * self.pp_out // self.pp_in
+            mid_hi = org_mid + (self.valid_hi0 if start0 else self.midlen)
+            # frac outputs producible from this window (exclusive bound):
+            # max n whose full read window [s-fll+in_lat, +fl) fits
+            lim = mid_hi - fl + fll - in_lat
+            n_frac_hi = self._max_n_for_read(lim) + 1
+            if post:
+                if start0:
+                    a, w = 0, 0
+                else:
+                    a = (b - Wf_out) // sp_out
+                    w = b - a * sp_out
+                    if a < 0:
+                        raise RuntimeError(
+                            "suffix warmup precedes stream start; "
+                            "increase seg_len")
+                navail = n_frac_hi - a
+                lo, hi = 0, self.M_cap
+                while lo < hi:
+                    m = (lo + hi + 1) // 2
+                    if chain_in_for_out(post, w + m) <= navail:
+                        lo = m
+                    else:
+                        hi = m - 1
+                cnt = lo
+                fc_need = chain_in_for_out(post, w + cnt)
+            else:
+                a, w = b, 0
+                cnt = min(max(n_frac_hi - b, 0), self.M_cap)
+                fc_need = cnt
+            if fc_need > 0:
+                s, xf = frac_positions(self.fs, a, fc_need)
+                rel = in_lat + s - fll - org_mid + self.padl
+                if rel.min() < 0 or rel.max() + fl > self.padl + self.midlen:
+                    raise RuntimeError("poly stream read out of window")
+                if not start0 and rel.min() < self.padl + self.settle:
+                    raise RuntimeError("poly stream read before settle")
+                tb = np.asarray(self.fs.bank.table, dtype=np.float64)
+                fr = xf * self.fs.bank.fracs
+                fti = np.floor(fr).astype(np.int64)
+                t = (fr - fti)[:, None]
+                flt = tb[fti, :, 0] + (tb[fti, :, 1] + tb[fti, :, 2] * t) * t
+            else:
+                rel = np.zeros(0, dtype=np.int64)
+                flt = np.zeros((0, fl), dtype=np.float64)
+            pad = self.Fc_cap - fc_need
+            rel = np.concatenate([rel, np.zeros(pad, dtype=np.int64)])
+            flt = np.concatenate([flt, np.zeros((pad, fl))], axis=0)
+            rp_rows.append(rel)
+            fv_rows.append(flt)
+            w_rows.append(w)
+            counts.append(cnt)
+            b += cnt
+        rp = np.stack(rp_rows).astype(np.int32)
+        flt = np.stack(fv_rows)
+        if self._high:
+            hi_ = flt.astype(np.float32)
+            lo_ = (flt - hi_.astype(np.float64)).astype(np.float32)
+            fv = np.stack([hi_, lo_], axis=-1)
+        else:
+            fv = flt.astype(np.dtype(self.dtype))
+        return rp, fv, np.asarray(w_rows, dtype=np.int32), counts
+
+    # -- streaming ---------------------------------------------------------
+
+    def reset(self):
+        self._carry = None
+        self.n_in = 0
+        self.n_out = 0
+        self._call = 0
+        self._channels = None
+        self._pending = None
+
+    def process_block(self, x) -> jnp.ndarray:
+        """x: [C, self.block] -> newly computable outputs (device array)."""
+        x = jnp.asarray(x, dtype=self.dtype)
+        if x.ndim != 2 or x.shape[1] != self.block:
+            raise ValueError(
+                f"block must be [channels, {self.block}], got {x.shape}")
+        if self._channels is None:
+            self._channels = int(x.shape[0])
+        elif int(x.shape[0]) != self._channels:
+            raise ValueError(
+                f"block has {int(x.shape[0])} channels, stream started "
+                f"with {self._channels}")
+        C = x.shape[0]
+        C_pad = _round_up(C, self.n_ch)
+        if C_pad != C:
+            x = jnp.pad(x, ((0, C_pad - C), (0, 0)))
+        x = jax.device_put(x, self._x_sharding)
+        rp, fv, w, counts = self._positions(self._call)
+        carry = self._carry if self._carry is not None else jax.device_put(
+            jnp.zeros((C_pad, self.H), dtype=self.dtype), self._c_sharding)
+        y = self._jit(x, carry, jnp.asarray(rp), jnp.asarray(fv),
+                      jnp.asarray(w), jnp.asarray(self._call == 0))
+        self._carry = jax.device_put(x[:, -self.H:], self._c_sharding)
+        self.n_in += self.block
+        self._call += 1
+        parts = [y[:C, k * self.M_cap: k * self.M_cap + counts[k]]
+                 for k in range(self.n_t) if counts[k]]
+        self.n_out += int(sum(counts))
+        if not parts:
+            return jnp.zeros((C, 0), dtype=self.dtype)
+        return parts[0] if len(parts) == 1 else \
+            jnp.concatenate(parts, axis=1)
+
+    def process(self, x) -> np.ndarray:
+        """Arbitrary-length chunks, host re-blocked on the block grid."""
+        x = np.asarray(x)
+        if x.ndim == 1:
+            x = x[None]
+        buf = x if self._pending is None else \
+            np.concatenate([self._pending, x], axis=1)
+        outs = []
+        while buf.shape[1] >= self.block:
+            outs.append(np.asarray(self.process_block(buf[:, :self.block]),
+                                   dtype=np.float64))
+            buf = buf[:, self.block:]
+        self._pending = buf
+        return (np.concatenate(outs, axis=1) if outs
+                else np.zeros((x.shape[0], 0), dtype=np.float64))
+
+    def flush(self, out_len: Optional[int] = None) -> np.ndarray:
+        """Zero-feed until out_len total outputs (default floor(n_in*r))."""
+        n_real = self.n_in + (0 if self._pending is None
+                              else self._pending.shape[1])
+        if out_len is None:
+            out_len = int(math.floor(
+                n_real * self.rs.plan.dst_rate / self.rs.plan.src_rate))
+        C = self._channels or 1
+        outs = []
+        guard = 0
+        while self.n_out < out_len and guard < 10000:
+            n_pend = 0 if self._pending is None else self._pending.shape[1]
+            outs.append(self.process(
+                np.zeros((C, self.block - n_pend), dtype=np.float64)))
+            guard += 1
+        y = (np.concatenate(outs, axis=1) if outs
+             else np.zeros((C, 0), dtype=np.float64))
+        extra = self.n_out - out_len
+        if extra > 0:
+            y = y[:, : y.shape[1] - extra]
+            self.n_out = out_len
+        return y
+
+    # -- checkpoint / resume ------------------------------------------------
+
+    def get_state(self) -> dict:
+        return {
+            "carry": None if self._carry is None
+            else np.asarray(self._carry),
+            "n_in": self.n_in, "n_out": self.n_out, "call": self._call,
+            "channels": self._channels,
+            "pending": None if self._pending is None
+            else np.asarray(self._pending),
+        }
+
+    def set_state(self, st: dict) -> None:
+        self._carry = None if st["carry"] is None else jax.device_put(
+            jnp.asarray(st["carry"], dtype=self.dtype), self._c_sharding)
+        self.n_in = st["n_in"]
+        self.n_out = st["n_out"]
+        self._call = st["call"]
         self._channels = st["channels"]
         self._pending = None if st["pending"] is None \
             else np.asarray(st["pending"])

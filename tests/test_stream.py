@@ -205,6 +205,52 @@ def test_stream_device_resident():
     assert np.array_equal(yh.astype(np.float32), yd.astype(np.float32))
 
 
+@pytest.mark.parametrize("cfg", [
+    ("poly_suffix", 44100, 96001),   # poly + conv suffix (device re-block)
+    ("poly_last", 96001, 44100),     # poly final stage
+], ids=lambda c: c[0] if isinstance(c, tuple) else str(c))
+def test_stream_device_resident_poly(cfg):
+    """Device-resident streaming for polynomial (irrational-ratio) plans
+    (VERDICT r3 missing #2 / next #5): the tail interpolator runs with
+    per-block device position args; a suffix is re-blocked on device
+    through a static ring buffer.  Must equal oneshot in f64, and the
+    host process() path bit-for-bit in f32, including when mixing device
+    and host calls mid-stream."""
+    import jax.numpy as jnp
+
+    _, src, dst = cfg
+    rs = Resampler(src, dst, 2.0, 180.15, 0, dtype="float64")
+    st = StreamResampler(rs, block_len=2048)
+    n = st.block * 4
+    x = np.stack([lcg_uniform(11, n), lcg_uniform(12, n)])
+    outs = [np.asarray(st.process_block_device(
+        jnp.asarray(x[:, i : i + st.block])), dtype=np.float64)
+        for i in range(0, n, st.block)]
+    out_len = rs.default_out_len(n)
+    outs.append(st.flush(out_len))
+    y = np.concatenate(outs, axis=1)
+    ref = np.asarray(rs.oneshot(x, out_len))
+    assert y.shape == ref.shape
+    assert rms_db(y - ref) < -280.0
+
+    # f32: device path == host path bit-for-bit, mixed mid-stream
+    rs32 = Resampler(src, dst, 2.0, 180.15, 0, dtype="float32")
+    st_h = StreamResampler(rs32, block_len=2048)
+    st_m = StreamResampler(rs32, block_len=2048)
+    x32 = x.astype(np.float32)
+    yh, ym = [], []
+    for j, i in enumerate(range(0, n, st_h.block)):
+        blk = x32[:, i : i + st_h.block]
+        yh.append(np.asarray(st_h.process(blk), dtype=np.float64))
+        if j == 2:  # host call mid-stream drains the device re-blocker
+            ym.append(np.asarray(st_m.process(blk), dtype=np.float64))
+        else:
+            ym.append(np.asarray(st_m.process_block_device(
+                jnp.asarray(blk)), dtype=np.float64))
+    assert np.array_equal(np.concatenate(yh, axis=1),
+                          np.concatenate(ym, axis=1))
+
+
 def test_device_stream_guards():
     """Device streaming: channel bookkeeping for flush/checkpoint; strict
     shape validation; refusal to mix with a pending partial chunk

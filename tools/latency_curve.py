@@ -87,6 +87,36 @@ def measure(core, C: int, iters: int):
     return dt, L
 
 
+def measure_poly(st, C: int, iters: int):
+    """Steady-state seconds/block for a POLY plan's device-resident
+    streaming step.  Positions/filters are per-block host data, so the
+    step cannot be fori_looped with fixed operands; instead the real
+    process_block_device call sequence is timed with async dispatch (one
+    sync at the end), min-anchor discipline as in measure()."""
+    L = st.block
+    rng = np.random.default_rng(0)
+    x = jax.device_put(jnp.asarray(
+        rng.standard_normal((C, L)) * 0.5, jnp.float32))
+    for _ in range(10):  # warm all (win_len, cap) and count-slice shapes
+        st.process_block_device(x)
+
+    def timed(n: int) -> float:
+        t0 = time.perf_counter()
+        y = None
+        for _ in range(n):
+            y = st.process_block_device(x)
+        y.block_until_ready()
+        return time.perf_counter() - t0
+
+    t_ones, t_manys = [], []
+    for _ in range(3):
+        t_ones.append(timed(1))
+        t_manys.append(timed(iters + 1))
+    dt = (min(t_manys) - min(t_ones)) / iters
+    assert dt > 0, "timing jitter: no positive dt"
+    return dt, L
+
+
 def main():
     C = int(os.environ.get("R8B_LBENCH_CHANNELS", "1024"))
     blocks = [int(b) for b in os.environ.get(
@@ -103,12 +133,18 @@ def main():
     seen = set()
     for blk in blocks:
         st = StreamResampler(rs, block_len=blk)
-        core = st._core
-        assert core is not None and st._mode == "period", "period plans only"
-        if core.L in seen:  # block geometry quantizes: skip duplicates
-            continue
-        seen.add(core.L)
-        dt, L = measure(core, C, iters)
+        if st._mode == "poly":
+            if st.block in seen:
+                continue
+            seen.add(st.block)
+            dt, L = measure_poly(st, C, iters)
+        else:
+            core = st._core
+            assert core is not None, "empty plan"
+            if core.L in seen:  # block geometry quantizes: skip duplicates
+                continue
+            seen.add(core.L)
+            dt, L = measure(core, C, iters)
         block_ms = 1e3 * L / src
         ms = 1e3 * dt
         points.append({
