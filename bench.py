@@ -91,6 +91,8 @@ def main():
     atten = float(os.environ.get("R8B_BENCH_ATTEN", "180.15"))
     tb = float(os.environ.get("R8B_BENCH_TB", "2.0"))
     engine = os.environ.get("R8B_BENCH_ENGINE", "auto")
+    frac_engine = os.environ.get("R8B_BENCH_FRAC_ENGINE",
+                                 "ozaki" if engine == "ozaki" else "auto")
     fused_env = os.environ.get("R8B_BENCH_FUSED", "auto")
     fused = {"auto": "auto", "1": True, "0": False}[fused_env]
 
@@ -108,7 +110,8 @@ def main():
 
     n_in = int(src * seconds)
     rs = Resampler(src, dst, tb, atten, 0, dtype=dtype,
-                   precision=precision, fused=fused, conv_engine=engine)
+                   precision=precision, fused=fused, conv_engine=engine,
+                   frac_engine=frac_engine)
     rng = np.random.default_rng(0)
     x0 = jax.device_put(jnp.asarray(
         rng.standard_normal((channels, n_in)) * 0.5, dtype=dtype))

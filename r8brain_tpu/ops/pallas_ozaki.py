@@ -1,0 +1,146 @@
+"""Pallas TPU kernel for the error-free split-operand (Ozaki) matmul.
+
+The XLA composition of ops/ozaki.py is memory-bound: each of the 10
+slice-pair partials materializes a full [C, n_blocks, Kcols] f32 tensor in
+HBM (measured on chip: 119x baseline at 1 kept diagonal, 46x at 3
+partials, 21x at 10 — time linear in partial count, not MACs).  This
+kernel keeps the whole pipeline in VMEM: one DMA of the f32 input span
+per grid cell, the 4-way 8-bit fixed-point split computed on the VPU, the
+10 bfloat16 MXU dots accumulated in VMEM registers with a two_sum
+compensation on the dominant diagonal, and ONE f32 output write.
+
+Exactness story is identical to ops/ozaki.py (module docstring there):
+slice products are integers < 2^16 on a per-(channel, column)
+power-of-two grid, accumulated <= 256 at a time, so every f32 add is
+exact on any backend; the kernel merely removes the HBM round trips.
+
+Validated in interpreter mode against the XLA composition bit-for-bit
+(tests/test_ozaki.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    HAVE_PALLAS = False
+
+from .dfloat import two_sum
+from .ozaki import K0, N_DIAG, N_PARTS
+
+__all__ = ["HAVE_PALLAS", "ozaki_matmul_pallas", "choose_ct"]
+
+
+def choose_ct(C: int, S: int, L_f: int, Kcols: int,
+              vmem_budget: int = 10 * 1024 * 1024) -> int:
+    """Largest channel tile fitting the VMEM budget (0 = infeasible).
+
+    Budget: f32 input window CT*S*4, four bf16 split parts CT*S*2*4,
+    T parts N_PARTS*L_f*Kcols*2 (resident), three f32 accumulators
+    CT*Kcols*4, double-buffered output 2*CT*Kcols*4.
+    """
+    t_bytes = N_PARTS * L_f * Kcols * 2
+    for CT in (128, 64, 32, 16, 8):
+        if C % CT:
+            continue
+        vmem = (CT * S * 4 + N_PARTS * CT * S * 2 + t_bytes
+                + 5 * CT * Kcols * 4)
+        if vmem <= vmem_budget:
+            return CT
+    return 0
+
+
+def _make_kernel(L_f: int, hop: int, Kcols: int, CT: int, S: int):
+    n_chunks = -(-L_f // K0)
+
+    def kernel(sx_ref, x_hbm, T_ref, o_ref, xwin, sem):
+        c = pl.program_id(0)
+        b = pl.program_id(1)
+        start = b * hop  # hop is a multiple of 128 (B >= 128, integer down)
+        cp = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(c * CT, CT),
+                     pl.ds(pl.multiple_of(start, 128), S)],
+            xwin, sem)
+        cp.start()
+        cp.wait()
+        sx = sx_ref[:]                     # [CT, 1] power-of-two scale
+        xs = xwin[:] * (1.0 / sx)          # exact: pow2 reciprocal+mul
+        parts = []
+        r = xs
+        for p in range(N_PARTS):
+            step = np.float32(2.0 ** (-8 * (p + 1)))
+            q = jnp.round(r * np.float32(1.0 / step)) * step
+            parts.append(q.astype(jnp.bfloat16))
+            r = r - q                      # exact residual
+        hi = jnp.zeros((CT, Kcols), jnp.float32)
+        lo = jnp.zeros((CT, Kcols), jnp.float32)
+        rest = jnp.zeros((CT, Kcols), jnp.float32)
+        for e in range(n_chunks):
+            a0 = e * K0
+            a1 = min(L_f, a0 + K0)
+            for p in range(N_PARTS):
+                for q_ in range(N_PARTS):
+                    d = p + q_
+                    if d >= N_DIAG:
+                        continue
+                    w = parts[p][:, a0:a1]
+                    Tq = T_ref[q_, a0:a1, :]
+                    o = jnp.dot(w, Tq,
+                                preferred_element_type=jnp.float32)
+                    if d == 0:
+                        s, err = two_sum(hi, o)
+                        hi, lo = s, lo + err
+                    else:
+                        rest = rest + o
+        o_ref[:] = (hi + (lo + rest)) * sx
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "L_f", "hop", "Kcols", "CT", "interpret"))
+def ozaki_matmul_pallas(xp: jnp.ndarray, sx: jnp.ndarray,
+                        T_parts: jnp.ndarray, L_f: int, hop: int,
+                        Kcols: int, CT: int,
+                        interpret: bool = False) -> jnp.ndarray:
+    """out[c, b*Kcols + k] = sum_l xp[c, b*hop + l] * T[l, k] in the
+    backend-independent split-operand form.
+
+    xp: [C, N] f32 with C % CT == 0 and N >= (n_blocks-1)*hop + S
+    (S = L_f rounded up to 128); sx: [C, 1] f32 per-channel power-of-two
+    scales (from ops.ozaki.split_input's normalization); T_parts:
+    [N_PARTS, L_f, Kcols] bfloat16 host-split slices with the per-column
+    scale folded in (exponent shift keeps bf16 exactness).
+    """
+    C, N = xp.shape
+    S = -(-L_f // 128) * 128
+    n_blocks = (N - S) // hop + 1
+    assert n_blocks >= 1
+    kernel = _make_kernel(L_f, hop, Kcols, CT, S)
+    grid = (C // CT, n_blocks)
+    any_space = getattr(pl, "ANY", None) or pltpu.ANY
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((C, n_blocks * Kcols), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((CT, 1), lambda c, b: (c, 0)),
+            pl.BlockSpec(memory_space=any_space),   # manual DMA
+            pl.BlockSpec((N_PARTS, L_f, Kcols), lambda c, b: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((CT, Kcols), lambda c, b: (c, b)),
+        scratch_shapes=[
+            pltpu.VMEM((CT, S), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(sx, xp, T_parts)

@@ -210,10 +210,13 @@ class ConvExec:
         if engine in ("pallas_fft", "pallas_fft4", "pallas_fft5"):
             # the VMEM-resident df32-FFT kernels share the fft framing
             self.precision = "high"
-        elif engine in ("direct", "toeplitz", "toeplitz_sym", "pallas"):
+        elif engine in ("direct", "toeplitz", "toeplitz_sym", "pallas",
+                        "ozaki"):
             self._build_direct(k)
             if engine == "toeplitz":
                 self._build_toeplitz()
+            elif engine == "ozaki":
+                self._build_ozaki()
             elif engine == "toeplitz_sym":
                 if not self._build_toeplitz_sym():
                     from ..utils.trace import trace
@@ -395,6 +398,77 @@ class ConvExec:
                 Tlo = truncate_residual(lo_full, float(np.abs(Thi).max()))
             self.toep_chunks.append((d0, Thi, Tlo))
         self.B_toep = B
+
+    def _build_ozaki(self, B: int = 256):
+        """Error-free split-operand form of the banded-Toeplitz operator
+        (ops/ozaki.py): the backend-independent -141 dB guarantee on the
+        MXU — 10 bfloat16 passes per 256-deep chunk with provably exact
+        f32 accumulation, replacing the VPU df32-FFT as the default
+        guarantee engine.  Same geometry as _build_toeplitz."""
+        from .ozaki import split_operator_host
+
+        spec = self.spec
+        up, down = spec.up, spec.down
+        D = self.D_direct
+        env_b = os.environ.get("R8BT_TOEP_B")
+        if env_b is not None:
+            B = int(env_b)
+        while B * down > 2 * D and B > 128:
+            B //= 2
+        sk64 = self._sk64
+        L_f = (B - 1) * down + D
+        T = np.zeros((L_f, B * up), dtype=np.float64)
+        for t in range(B):
+            for j in range(up):
+                T[t * down: t * down + D, t * up + j] = sk64[j]
+        self.oz_parts, self.oz_scale = split_operator_host(T)
+        self.oz_Lf = L_f
+        self.B_toep = B
+
+    def _apply_ozaki(self, x: jnp.ndarray, M: int) -> jnp.ndarray:
+        from .ozaki import channel_scale, framed_matmul_ozaki
+        from .pallas_ozaki import HAVE_PALLAS, choose_ct, ozaki_matmul_pallas
+
+        spec = self.spec
+        C, N = x.shape
+        up, down = spec.up, spec.down
+        B = self.B_toep
+        n_cyc = -(-M // up)
+        n_blocks = -(-n_cyc // B)
+        pad_l = max(0, -self.s_min)
+        hop = B * down
+        L_f = self.oz_Lf
+        n_seg = -(-L_f // hop)
+        need = (n_blocks + n_seg) * hop
+        pad_r = max(0, need - (N - self.s_min))
+        xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (pad_l, pad_r)))
+        xp = xp[:, self.s_min + pad_l:]
+        S = -(-L_f // 128) * 128
+        Kcols = B * up
+        use_pallas = (HAVE_PALLAS and hop % 128 == 0
+                      and jax.default_backend() == "tpu"
+                      and os.environ.get("R8BT_OZAKI_PALLAS", "1") != "0")
+        if use_pallas:
+            CT = choose_ct(-(-C // 8) * 8, S, L_f, Kcols)
+            if CT:
+                C_pad = -(-C // CT) * CT
+                xpp = xp
+                if xpp.shape[1] < (n_blocks - 1) * hop + S:
+                    xpp = jnp.pad(xpp, ((0, 0), (
+                        0, (n_blocks - 1) * hop + S - xpp.shape[1])))
+                else:
+                    xpp = xpp[:, : (n_blocks - 1) * hop + S]
+                if C_pad != C:
+                    xpp = jnp.pad(xpp, ((0, C_pad - C), (0, 0)))
+                sx = channel_scale(xpp)
+                y = ozaki_matmul_pallas(
+                    xpp, sx, jnp.asarray(self.oz_parts), L_f, hop,
+                    Kcols, CT)
+                return y[:C, :M].astype(self.dtype)
+        out = framed_matmul_ozaki(xp, jnp.asarray(self.oz_parts),
+                                  n_blocks, hop)
+        y = out.reshape(C, n_blocks * Kcols)
+        return y[:, :M].astype(self.dtype)
 
     def _build_toeplitz_sym(self, B: int = 256) -> bool:
         """Centrosymmetry-folded banded-Toeplitz operators: HALF the MXU
@@ -849,6 +923,8 @@ class ConvExec:
             return jnp.zeros((C, 0), dtype=self.dtype)
         if self.engine == "toeplitz":
             return self._apply_toeplitz(x, M)
+        if self.engine == "ozaki":
+            return self._apply_ozaki(x, M)
         if self.engine == "toeplitz_sym":
             return self._apply_toeplitz_sym(x, M)
         if self.engine == "pallas":
@@ -1113,6 +1189,8 @@ class FracWholeExec:
         rows = np.arange(O)[:, None]
         cols = (a - a[0])[:, None] + np.arange(fl)[None, :]
         sk[rows, cols] = table[f]
+        if engine == "ozaki":
+            self._sk64_t = np.ascontiguousarray(sk.T)  # f64 for splitting
         self.sk = sk.astype(dtype)
         if self.precision == "high":
             hi = sk.astype(np.float32)
@@ -1173,6 +1251,18 @@ class FracWholeExec:
             from ..utils.trace import trace
             trace("frac_pallas_fallback", reason="channel-tile/stride "
                   "alignment", C=C, cell_stride=Q * I, fallback="im2col")
+        if self.engine == "ozaki":
+            # error-free split-operand form (ops/ozaki.py): the
+            # backend-independent -141 dB class on the MXU
+            from .ozaki import framed_matmul_ozaki, split_operator_host
+            if not hasattr(self, "oz_parts"):
+                self.oz_parts, self.oz_scale = \
+                    split_operator_host(self._sk64_t)
+            out = framed_matmul_ozaki(xp.astype(jnp.float32),
+                                      jnp.asarray(self.oz_parts),
+                                      n_cyc, I)
+            y = out.reshape(C, n_cyc * O)
+            return y[:, :M].astype(self.dtype)
         if self.engine in ("im2col", "pallas"):
             skT = jnp.asarray(self.sk.T)  # [D, O]
             lo = None

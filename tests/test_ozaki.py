@@ -1,0 +1,156 @@
+"""Error-free split-operand (Ozaki-style) MXU guarantee engine.
+
+Checks both the exactness LEMMA the engine's backend-independence rests
+on (every f32 accumulation of bf16 slice-pair products on a common
+power-of-two grid is exact for K <= 256) and the end-to-end -141 dB
+golden class vs the f64 oracle (the same bound the df32-FFT guarantee
+engines are held to, bench/README.md:9-11).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from r8brain_tpu.models.oracle import OracleResampler
+from r8brain_tpu.models.resampler import Resampler
+from r8brain_tpu.ops.ozaki import (K0, N_PARTS, framed_matmul_ozaki,
+                                   split_input, split_operator_host)
+
+from .helpers import lcg_uniform, rms_db
+
+
+def test_split_operator_bf16_exact_and_reconstructs():
+    rng = np.random.default_rng(0)
+    K, G = 700, 256
+    t = np.arange(K)[:, None] - K / 2
+    T = np.sinc((t - rng.standard_normal((1, G)) * 4) / 8) \
+        * np.hanning(K)[:, None]          # high-crest sinc-like operator
+    parts, scale = split_operator_host(T)
+    assert parts.shape == (N_PARTS, K, G)
+    # scales are powers of two
+    assert np.array_equal(scale, np.exp2(np.round(np.log2(scale))))
+    # reconstruction error bounded by the dropped 2^-32 slice (the column
+    # scale is folded into the slices)
+    rec = np.asarray(parts, dtype=np.float64).sum(axis=0)
+    assert np.abs(rec - T).max() <= np.abs(T).max(axis=0).max() * 2.0**-32
+
+
+def test_split_input_exact_ops():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((3, 500)) * 7.3, jnp.float32)
+    parts, s = jax.jit(split_input)(x)
+    s = np.asarray(s, dtype=np.float64)
+    assert np.array_equal(s, np.exp2(np.round(np.log2(s))))
+    rec = np.asarray(parts, dtype=np.float64).sum(axis=0) * s
+    err = np.abs(rec - np.asarray(x, dtype=np.float64))
+    assert err.max() <= s.max() * 2.0**-32
+
+
+def test_accumulation_exactness_lemma():
+    """A K0-deep f32 dot of bf16 slice-pair products equals the f64 dot
+    EXACTLY — the property that makes the engine backend-independent."""
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((4, K0)), jnp.float32)
+    T = rng.standard_normal((K0, 128))
+    xparts, xs = split_input(x)
+    Tparts, Ts = split_operator_host(T)
+    for p in range(N_PARTS):
+        for q in range(N_PARTS):
+            if p + q >= 4:
+                continue
+            a = xparts[p]
+            b = jnp.asarray(Tparts[q])
+            got = jnp.einsum("ck,kg->cg", a, b,
+                             preferred_element_type=jnp.float32)
+            ref = np.einsum(
+                "ck,kg->cg",
+                np.asarray(a, dtype=np.float64),
+                np.asarray(b, dtype=np.float64))
+            assert np.array_equal(np.asarray(got, dtype=np.float64), ref), \
+                f"inexact accumulation at slice pair ({p}, {q})"
+
+
+def test_framed_matmul_ozaki_accuracy():
+    rng = np.random.default_rng(3)
+    C, n_blocks, hop = 3, 7, 300
+    L_f, G = 900, 256
+    xp = jnp.asarray(rng.standard_normal((C, (n_blocks + 3) * hop)) * 2.1,
+                     jnp.float32)
+    t = np.arange(L_f)[:, None] - L_f / 2
+    T = np.sinc((t - rng.standard_normal((1, G)) * 4) / 8) \
+        * np.hanning(L_f)[:, None]
+    Tparts, _ = split_operator_host(T)
+    y = np.asarray(framed_matmul_ozaki(xp, jnp.asarray(Tparts),
+                                       n_blocks, hop), dtype=np.float64)
+    x64 = np.asarray(xp, dtype=np.float64)
+    ref = np.stack([
+        np.stack([x64[c, b * hop: b * hop + L_f] @ T
+                  for b in range(n_blocks)]) for c in range(C)])
+    d = rms_db(y - ref) - rms_db(ref)
+    assert d < -150.0, d
+
+
+def test_pallas_kernel_matches_xla_composition():
+    """The VMEM-resident kernel (ops/pallas_ozaki.py) computes the same
+    split/dot/compensate pipeline as the XLA composition (interpreter
+    mode).  The exact d0 chain agrees bit-for-bit (verified separately
+    with N_DIAG=1); with all diagonals the d>=2 `rest` accumulation
+    associates differently, so outputs may differ by 1 ulp where the
+    final add sits on a rounding boundary — the bound, not bit-parity,
+    is the contract."""
+    from r8brain_tpu.ops.pallas_ozaki import (HAVE_PALLAS, choose_ct,
+                                              ozaki_matmul_pallas)
+
+    if not HAVE_PALLAS:
+        pytest.skip("pallas unavailable")
+    rng = np.random.default_rng(4)
+    C, n_blocks, hop = 8, 3, 256
+    L_f, G = 700, 256
+    S = -(-L_f // 128) * 128
+    N = (n_blocks - 1) * hop + S
+    xp = jnp.asarray(rng.standard_normal((C, N)) * 1.7, jnp.float32)
+    t = np.arange(L_f)[:, None] - L_f / 2
+    T = np.sinc((t - rng.standard_normal((1, G)) * 4) / 8) \
+        * np.hanning(L_f)[:, None]
+    Tparts, _ = split_operator_host(T)
+    from r8brain_tpu.ops.ozaki import channel_scale
+    sx = channel_scale(xp)
+    CT = choose_ct(C, S, L_f, G)
+    assert CT
+    y_k = np.asarray(ozaki_matmul_pallas(
+        xp, sx, jnp.asarray(Tparts), L_f, hop, G, CT, interpret=True),
+        dtype=np.float64)
+    y_x = np.asarray(framed_matmul_ozaki(xp, jnp.asarray(Tparts),
+                                         n_blocks, hop),
+                     dtype=np.float64).reshape(C, n_blocks * G)
+    d = rms_db(y_k - y_x) - rms_db(y_x)
+    assert d < -150.0, d
+
+
+OZ_CONFIGS = [
+    ("up_44k_96k", 44100, 96000, 180.15),
+    ("up_44k_48k", 44100, 48000, 180.15),
+    ("down_96k_44k", 96000, 44100, 180.15),
+    ("preset_def", 44100, 96000, 206.91),
+]
+
+
+@pytest.mark.parametrize("cfg", OZ_CONFIGS, ids=[c[0] for c in OZ_CONFIGS])
+def test_ozaki_chain_meets_golden_class(cfg):
+    """conv_engine=frac_engine="ozaki" under precision="high" must meet
+    the -141 dB golden class vs the f64 oracle on ANY backend (VERDICT r3
+    next #3; role matched: /root/reference/fft/pffft_double.c)."""
+    label, src, dst, atten = cfg
+    n = 12000
+    x = lcg_uniform(101, n).astype(np.float32)
+    orc = OracleResampler(src, dst, 4096, 2.0, atten, 0)
+    out_len = int(np.floor(n * dst / src))
+    ref = orc.oneshot(x.astype(np.float64), out_len)
+    rs = Resampler(src, dst, 2.0, atten, 0, dtype="float32",
+                   plan=orc.plan, precision="high", fused=False,
+                   conv_engine="ozaki", frac_engine="ozaki")
+    y = np.asarray(rs.oneshot(x, out_len), dtype=np.float64)
+    d = rms_db(y - ref) - rms_db(ref)
+    assert d < -141.0, f"{label}: {d:.1f} dB"
