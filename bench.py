@@ -192,7 +192,7 @@ def main():
         if precision != "fast":
             metric = f"resample_{cfg}_{tag}_hp_throughput"
     exec_mrops = 1e-6 * channels * n_in / dt_exec
-    print(json.dumps({
+    rec = {
         "metric": metric,
         "value": round(mrops, 1),
         "unit": "Mrops",
@@ -201,7 +201,19 @@ def main():
         # across rounds/sessions (see the comment at dt_exec)
         "exec_value": round(exec_mrops, 1),
         "exec_vs_baseline": round(exec_mrops / 38.0, 2),
-    }))
+    }
+    if (src, dst) != (44100.0, 96000.0):
+        # the Mrops convention counts INPUT samples (r8bfreesrc.cpp:
+        # 140-141) and the 38 Mrops baseline is a 44.1k->96k figure, so
+        # for other ratios — especially heavy upsampling like PCM->DSD64,
+        # where the input-sample count understates the work 64x — also
+        # publish output samples/s and the conversion ratio, making the
+        # row self-describing (VERDICT r3 weak #4)
+        out_len = rs.out_len_for_in(n_in)
+        rec["ratio"] = round(dst / src, 6)
+        rec["exec_out_msamples_s"] = round(
+            1e-6 * channels * out_len / dt_exec, 1)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -28,6 +28,15 @@
 #elif defined(__AVX2__) && defined(__FMA__)
 #include <immintrin.h>
 #define R8BT_AVX2 1
+#elif defined(__aarch64__) && defined(__ARM_NEON)
+/* 2-lane f64 NEON variants of the hot loops (the role of the reference's
+ * R8B_NEON bodies, CDSPHBUpsampler.inc:298, fft/simd/pf_neon_double.h).
+ * COMPILE-UNVERIFIED: this build environment has no ARM toolchain and no
+ * network to fetch one (zig cc unavailable), so these guards are only
+ * ever compiled out on the x86 CI host; review + the mirrored scalar
+ * fallbacks are the correctness story until an aarch64 build exists. */
+#include <arm_neon.h>
+#define R8BT_NEON 1
 #endif
 
 namespace {
@@ -1248,6 +1257,30 @@ class ConvStage : public Stage {
                 _mm256_storeu_pd(zi + i, si);
             }
         }
+#elif R8BT_NEON
+        if (first) {
+            for (; i + 2 <= nf; i += 2) {
+                float64x2_t a = vld1q_f64(xr + i);
+                float64x2_t b = vld1q_f64(xi + i);
+                float64x2_t c = vld1q_f64(cr + i);
+                float64x2_t d = vld1q_f64(ci + i);
+                vst1q_f64(zr + i, vfmsq_f64(vmulq_f64(a, c), b, d));
+                vst1q_f64(zi + i, vfmaq_f64(vmulq_f64(a, d), b, c));
+            }
+        } else {
+            for (; i + 2 <= nf; i += 2) {
+                float64x2_t a = vld1q_f64(xr + i);
+                float64x2_t b = vld1q_f64(xi + i);
+                float64x2_t c = vld1q_f64(cr + i);
+                float64x2_t d = vld1q_f64(ci + i);
+                float64x2_t sr = vld1q_f64(zr + i);
+                float64x2_t si = vld1q_f64(zi + i);
+                sr = vfmaq_f64(vfmsq_f64(sr, b, d), a, c);
+                si = vfmaq_f64(vfmaq_f64(si, b, c), a, d);
+                vst1q_f64(zr + i, sr);
+                vst1q_f64(zi + i, si);
+            }
+        }
 #endif
         if (first) {
             for (; i < nf; ++i) {
@@ -1304,6 +1337,21 @@ class ConvStage : public Stage {
             }
             _mm256_storeu_pd(zr + i, sr);
             _mm256_storeu_pd(zi + i, si);
+        }
+#elif R8BT_NEON
+        for (; i + 2 <= nf; i += 2) {
+            float64x2_t sr = vdupq_n_f64(0.0);
+            float64x2_t si = vdupq_n_f64(0.0);
+            for (long p = 0; p < nP; ++p) {
+                float64x2_t a = vld1q_f64(xr[p] + i);
+                float64x2_t b = vld1q_f64(xi[p] + i);
+                float64x2_t c = vld1q_f64(cr[p] + i);
+                float64x2_t d = vld1q_f64(ci[p] + i);
+                sr = vfmaq_f64(vfmsq_f64(sr, b, d), a, c);
+                si = vfmaq_f64(vfmaq_f64(si, b, c), a, d);
+            }
+            vst1q_f64(zr + i, sr);
+            vst1q_f64(zi + i, si);
         }
 #endif
         for (; i < nf; ++i) {
@@ -1730,6 +1778,35 @@ class HBUpStage : public Stage {
             _mm256_storeu_pd(o + 4, r8bt_ihi(ev, od));
             s += 8;
         }
+#elif R8BT_NEON
+        /* 4 outputs (2 input positions) per iteration: 2-lane odd-output
+         * stencil, evens interleave with vzip */
+        while (s < sEnd) {
+            if ((s & 1) != 0 || s + 4 > sEnd) {
+                if (s >= sEnd) break;
+                one(s);
+                ++s;
+                continue;
+            }
+            long n = s / 2;
+            const double *W = hist.raw(n - (nt - 1), 2 * nt + 3);
+            if (!W) {
+                one(s);
+                ++s;
+                continue;
+            }
+            const double *C = W + (nt - 1); /* x[n + t] = C[t] */
+            float64x2_t ev = vld1q_f64(C);
+            float64x2_t od = vdupq_n_f64(0.0);
+            for (long i = 0; i < nt; ++i)
+                od = vfmaq_f64(od, vdupq_n_f64(taps[(size_t)i]),
+                               vaddq_f64(vld1q_f64(C + 1 + i),
+                                         vld1q_f64(C - i)));
+            double *o = out + (s - outLat - n0);
+            vst1q_f64(o, vzip1q_f64(ev, od));
+            vst1q_f64(o + 2, vzip2q_f64(ev, od));
+            s += 4;
+        }
 #endif
         for (; s < sEnd; ++s) one(s);
     }
@@ -1814,6 +1891,29 @@ class HBDownStage : public Stage {
                     acc);
             _mm256_storeu_pd(out + (n - outLat - n0), acc);
             n += 4;
+        }
+#elif R8BT_NEON
+        /* 2 outputs per iteration; each stride-2 tap read deinterleaves
+         * two contiguous loads with vuzp1 */
+        while (n + 2 <= nEnd) {
+            const double *W = hist.raw(2 * n - 2 * nt + 1, 4 * nt + 4);
+            if (!W) {
+                one(n);
+                ++n;
+                continue;
+            }
+            const long c0 = 2 * nt - 1; /* x[2n + c] = W[c0 + c + 2t] */
+            auto dei = [&](long rel) {
+                return vuzp1q_f64(vld1q_f64(W + rel),
+                                  vld1q_f64(W + rel + 2));
+            };
+            float64x2_t acc = dei(c0);
+            for (long i = 0; i < nt; ++i)
+                acc = vfmaq_f64(acc, vdupq_n_f64(taps[(size_t)i]),
+                                vaddq_f64(dei(c0 + 1 + 2 * i),
+                                          dei(c0 - 1 - 2 * i)));
+            vst1q_f64(out + (n - outLat - n0), acc);
+            n += 2;
         }
 #endif
         for (; n < nEnd; ++n) one(n);
@@ -2006,6 +2106,41 @@ class FracWholeStage : public Stage {
                             _mm256_maskload_pd(wp + ofs, tm), a);
                     }
                     o[q] = r8bt_hadd4(a);
+                }
+                n += outStep;
+            }
+        }
+#elif R8BT_NEON
+        if (outStep >= 8) {
+            /* supercycle-table path, 2-lane: see the AVX-512 comment */
+            long nAlign = ((n + outStep - 1) / outStep) * outStep;
+            if (nAlign > n1) nAlign = n1;
+            emitGeneric(out, n0, n, nAlign);
+            n = nAlign;
+            while (n + outStep <= n1) {
+                long g = w0 + n * inStep;
+                long sBase = g / outStep;
+                const double *W = hist.raw(sBase - (fl2() - 1), span);
+                if (!W) {  /* stream-start boundary */
+                    emitGeneric(out, n0, n, n + outStep);
+                    n += outStep;
+                    continue;
+                }
+                double *o = out + (n - n0);
+                const double *tab = table.data();
+                const long *qR = qRow.data(), *qO = qS.data();
+                const int nv = (int)(fl >> 1);
+                const bool rem = (fl & 1) != 0;
+                for (long q = 0; q < outStep; ++q) {
+                    const double *fp = tab + qR[q];
+                    const double *wp = W + qO[q];
+                    float64x2_t a = vdupq_n_f64(0.0);
+                    for (int v = 0; v < nv; ++v)
+                        a = vfmaq_f64(a, vld1q_f64(fp + (long)v * 2),
+                                      vld1q_f64(wp + (long)v * 2));
+                    double sum = vaddvq_f64(a);
+                    if (rem) sum += fp[fl - 1] * wp[fl - 1];
+                    o[q] = sum;
                 }
                 n += outStep;
             }

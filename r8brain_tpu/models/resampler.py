@@ -51,11 +51,15 @@ class Resampler:
         both precision modes; pass False to force the two-stage pipeline.
 
         conv_engine: convolver engine for unfused stages — "auto",
-        "toeplitz", "fft", "direct", "pallas", or the VMEM-resident
+        "toeplitz", "fft", "direct", "pallas", the VMEM-resident
         df32-FFT guarantee engines "pallas_fft" (radix-2),
         "pallas_fft4" (radix-4), "pallas_fft5" (four-step
-        direct-butterfly, the fastest; in-VMEM overlap-save framing
-        when the kernel geometry allows).
+        direct-butterfly; in-VMEM overlap-save framing when the kernel
+        geometry allows), or "ozaki" — the error-free split-operand MXU
+        guarantee engine (ops/ozaki.py: provably exact f32 accumulation
+        of bf16 operand slices on a power-of-two grid; the fastest
+        backend-independent -141 dB configuration, pair it with
+        frac_engine="ozaki").
 
         frac_engine: whole-stepping interpolator engine for unfused stages
         — "auto", "im2col", "conv", "pallas" (the pallas engine requires

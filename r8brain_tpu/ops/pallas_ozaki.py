@@ -106,6 +106,74 @@ def _make_kernel(L_f: int, hop: int, Kcols: int, CT: int, S: int):
     return kernel
 
 
+def _make_dense_kernel(Kpad: int, D: int, G: int, RT: int):
+    n_chunks = -(-D // K0)
+
+    def kernel(a_ref, sx_ref, T_ref, o_ref):
+        sx = sx_ref[:]                      # [RT, 1] pow2 row scales
+        xs = a_ref[:] * (1.0 / sx)
+        parts = []
+        r = xs
+        for p in range(N_PARTS):
+            step = np.float32(2.0 ** (-8 * (p + 1)))
+            q = jnp.round(r * np.float32(1.0 / step)) * step
+            parts.append(q.astype(jnp.bfloat16))
+            r = r - q
+        hi = jnp.zeros((RT, G), jnp.float32)
+        lo = jnp.zeros((RT, G), jnp.float32)
+        rest = jnp.zeros((RT, G), jnp.float32)
+        for e in range(n_chunks):
+            a0 = e * K0
+            a1 = min(D, a0 + K0)
+            for p in range(N_PARTS):
+                for q_ in range(N_PARTS):
+                    d = p + q_
+                    if d >= N_DIAG:
+                        continue
+                    w = parts[p][:, a0:a1]
+                    Tq = T_ref[q_, a0:a1, :]
+                    o = jnp.dot(w, Tq,
+                                preferred_element_type=jnp.float32)
+                    if d == 0:
+                        s, err = two_sum(hi, o)
+                        hi, lo = s, lo + err
+                    else:
+                        rest = rest + o
+        o_ref[:] = (hi + (lo + rest)) * sx
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("D", "G", "RT", "interpret"))
+def ozaki_dense_pallas(frames: jnp.ndarray, sx: jnp.ndarray,
+                       T_parts: jnp.ndarray, D: int, G: int,
+                       RT: int = 256, interpret: bool = False
+                       ) -> jnp.ndarray:
+    """Dense split-operand matmul out[r, k] = sum_l frames[r, l] * T[l, k]
+    for PRE-FRAMED rows (the frac stage's im2col windows, built XLA-side
+    by the ops/stages._frames reshape trick — framing at an unaligned
+    stride cannot be DMA'd directly, Mosaic requires 128-aligned starts).
+
+    frames: [R, Kpad] f32 with R % RT == 0 and the tail columns [D, Kpad)
+    zero; sx: [R, 1] power-of-two row scales; T_parts:
+    [N_PARTS, Kpad, G] bfloat16 (host-split, zero rows past D).
+    """
+    R, Kpad = frames.shape
+    kernel = _make_dense_kernel(Kpad, D, G, RT)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((R, G), jnp.float32),
+        grid=(R // RT,),
+        in_specs=[
+            pl.BlockSpec((RT, Kpad), lambda r: (r, 0)),
+            pl.BlockSpec((RT, 1), lambda r: (r, 0)),
+            pl.BlockSpec((N_PARTS, Kpad, G), lambda r: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((RT, G), lambda r: (r, 0)),
+        interpret=interpret,
+    )(frames, sx, T_parts)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "L_f", "hop", "Kcols", "CT", "interpret"))
 def ozaki_matmul_pallas(xp: jnp.ndarray, sx: jnp.ndarray,

@@ -1254,12 +1254,53 @@ class FracWholeExec:
         if self.engine == "ozaki":
             # error-free split-operand form (ops/ozaki.py): the
             # backend-independent -141 dB class on the MXU
-            from .ozaki import framed_matmul_ozaki, split_operator_host
+            from .ozaki import channel_scale, framed_matmul_ozaki, \
+                split_operator_host
+            from .pallas_ozaki import HAVE_PALLAS, ozaki_dense_pallas
             if not hasattr(self, "oz_parts"):
                 self.oz_parts, self.oz_scale = \
                     split_operator_host(self._sk64_t)
-            out = framed_matmul_ozaki(xp.astype(jnp.float32),
-                                      jnp.asarray(self.oz_parts),
+            xp32 = xp.astype(jnp.float32)
+            use_pallas = (HAVE_PALLAS and jax.default_backend() == "tpu"
+                          and os.environ.get("R8BT_OZAKI_PALLAS", "1")
+                          != "0")
+            if use_pallas:
+                # the window stride I is rarely 128-aligned, so frames
+                # are materialized XLA-side (reshape-view concat, one
+                # cheap pass over ~D/I x the input bytes) and the dense
+                # VMEM kernel runs over the framed rows
+                D = self.D
+                Kpad = -(-D // 128) * 128
+                fr = _frames(xp32, n_cyc, I, D)     # [C, n_cyc, D]
+                fr = fr.reshape(C * n_cyc, D)
+                if Kpad != D:
+                    fr = jnp.pad(fr, ((0, 0), (0, Kpad - D)))
+                RT = 256
+                R = fr.shape[0]
+                R_pad = -(-R // RT) * RT
+                if R_pad != R:
+                    fr = jnp.pad(fr, ((0, R_pad - R), (0, 0)))
+                # per-CHANNEL scales broadcast to frame rows: one reduce
+                # over the input instead of the (D/I-times larger) framed
+                # tensor; rows of a channel share the grid, exactness and
+                # the crest-level quantization class are unchanged
+                sxc = channel_scale(xp32)               # [C, 1]
+                sx = jnp.broadcast_to(sxc[:, None, :],
+                                      (C, n_cyc, 1)).reshape(R, 1)
+                if R_pad != R:
+                    sx = jnp.pad(sx, ((0, R_pad - R), (0, 0)),
+                                 constant_values=1.0)
+                if not hasattr(self, "oz_parts_pad"):
+                    pp = np.zeros((self.oz_parts.shape[0], Kpad, O),
+                                  dtype=self.oz_parts.dtype)
+                    pp[:, :D, :] = self.oz_parts
+                    self.oz_parts_pad = pp
+                yk = ozaki_dense_pallas(fr, sx,
+                                        jnp.asarray(self.oz_parts_pad),
+                                        D, O, RT)
+                y = yk[:R].reshape(C, n_cyc * O)
+                return y[:, :M].astype(self.dtype)
+            out = framed_matmul_ozaki(xp32, jnp.asarray(self.oz_parts),
                                       n_cyc, I)
             y = out.reshape(C, n_cyc * O)
             return y[:, :M].astype(self.dtype)

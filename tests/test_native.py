@@ -196,6 +196,49 @@ def test_native_avx2_paths_match_oracle(tmp_path):
     assert "AVX2 PARITY OK" in r.stdout
 
 
+@pytest.mark.slow
+def test_native_neon_emulated_paths_match_oracle(tmp_path):
+    """NEON coverage (VERDICT r3 next #7): no ARM toolchain or network
+    exists in this sandbox (zig cc unavailable), so the 2-lane R8BT_NEON
+    kernels are validated by SEMANTICS — built against the scalar
+    emulation stub (native/neon_stub/arm_neon.h) and run oracle-exact
+    through the same parity sweep as the AVX2 ISA check.  aarch64 codegen
+    remains unverified until an ARM build host exists (documented in
+    native/r8bt.cpp)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    nat = Path(__file__).resolve().parent.parent / "native"
+    r = subprocess.run(["make", "-C", str(nat), "libr8bt_neon_emu.so"],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    prog = (
+        "import numpy as np\n"
+        "from r8brain_tpu.native import NativeResampler\n"
+        "from r8brain_tpu.models.oracle import OracleResampler\n"
+        "from tests.helpers import lcg_uniform, rms_db\n"
+        "for src, dst in ((44100, 96000), (96000, 44100),\n"
+        "                 (44100, 96001), (2822400, 96000)):\n"
+        "    nr = NativeResampler(src, dst, 2.0, 180.15, 0)\n"
+        "    orc = OracleResampler(src, dst, 4096, 2.0, 180.15, 0,\n"
+        "                          plan=nr.plan)\n"
+        "    n = 8000 if src < 10**6 else 200000\n"
+        "    x = lcg_uniform(3, n)\n"
+        "    out_len = int(np.floor(n * dst / src))\n"
+        "    d = rms_db(nr.oneshot(x, out_len) - orc.oneshot(x, out_len))\n"
+        "    assert d < -280.0, (src, dst, d)\n"
+        "print('NEON EMU PARITY OK')\n"
+    )
+    env = dict(os.environ, R8BT_LIB=str(nat / "libr8bt_neon_emu.so"),
+               JAX_PLATFORMS="cpu")
+    r = subprocess.run([sys.executable, "-c", prog], capture_output=True,
+                       text=True, env=env,
+                       cwd=str(Path(__file__).resolve().parent.parent))
+    assert r.returncode == 0, (r.stdout, r.stderr[-2000:])
+    assert "NEON EMU PARITY OK" in r.stdout
+
+
 def test_blob_rate_validation(native):
     """A plan blob designed for different rates (or garbage bytes) must be
     rejected at construction: oneshot()'s default out_len uses the

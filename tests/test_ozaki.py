@@ -129,6 +129,35 @@ def test_pallas_kernel_matches_xla_composition():
     assert d < -150.0, d
 
 
+def test_dense_pallas_kernel_accuracy():
+    """ozaki_dense_pallas (pre-framed rows, the frac-stage form) meets
+    the engine's accuracy class vs f64 (interpreter mode)."""
+    from r8brain_tpu.ops.ozaki import channel_scale
+    from r8brain_tpu.ops.pallas_ozaki import (HAVE_PALLAS,
+                                              ozaki_dense_pallas)
+
+    if not HAVE_PALLAS:
+        pytest.skip("pallas unavailable")
+    rng = np.random.default_rng(5)
+    R, D, G = 512, 300, 256
+    Kpad = -(-D // 128) * 128
+    fr = rng.standard_normal((R, D)) * 1.3
+    t = np.arange(D)[:, None] - D / 2
+    T = np.sinc((t - rng.standard_normal((1, G)) * 3) / 6) \
+        * np.hanning(D)[:, None]
+    Tparts, _ = split_operator_host(T)
+    pp = np.zeros((Tparts.shape[0], Kpad, G), dtype=Tparts.dtype)
+    pp[:, :D, :] = Tparts
+    frp = jnp.asarray(np.pad(fr, ((0, 0), (0, Kpad - D))), jnp.float32)
+    sx = channel_scale(frp)
+    y = np.asarray(ozaki_dense_pallas(frp, sx, jnp.asarray(pp), D, G,
+                                      RT=256, interpret=True),
+                   dtype=np.float64)
+    ref = np.asarray(frp, dtype=np.float64)[:, :D] @ T
+    d = rms_db(y - ref) - rms_db(ref)
+    assert d < -150.0, d
+
+
 OZ_CONFIGS = [
     ("up_44k_96k", 44100, 96000, 180.15),
     ("up_44k_48k", 44100, 48000, 180.15),

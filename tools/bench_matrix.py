@@ -58,6 +58,10 @@ BENCH_RUNS = [
                             "R8B_BENCH_FUSED": "0",
                             "R8B_BENCH_ENGINE": "pallas_fft4",
                             "R8B_BENCH_METRIC": "hp_dfft4_guarantee"}, 2400),
+    ("ozaki_guarantee", {"R8B_BENCH_PRECISION": "high",
+                         "R8B_BENCH_FUSED": "0",
+                         "R8B_BENCH_ENGINE": "ozaki",
+                         "R8B_BENCH_METRIC": "ozaki_guarantee"}, 2400),
     ("preset_16", {"R8B_BENCH_ATTEN": "136.45"}, 1800),
     ("preset_16IR", {"R8B_BENCH_ATTEN": "109.56"}, 1800),
     ("preset_def", {"R8B_BENCH_ATTEN": "206.91"}, 1800),
@@ -69,7 +73,7 @@ BENCH_RUNS = [
 ACCURACY_RUNS = [
     ("acc_flagship", ["--configs",
                       "fast,high,high_toeplitz,hp_dfft_pallas5,"
-                      "hp_dfft_pallas4"], 3600),
+                      "hp_dfft_pallas4,ozaki"], 3600),
     ("acc_poly", ["--src", "44100", "--dst", "96001",
                   "--configs", "fast,high"], 1800),
     ("acc_dsd", ["--src", "2822400", "--dst", "96000", "--atten", "150",
@@ -77,6 +81,38 @@ ACCURACY_RUNS = [
                  "--configs", "fast"], 2400),
     # minimum-phase chain (dd-designed kernels, round 3+) on chip
     ("acc_minphase", ["--phase", "1", "--configs", "fast,high"], 1800),
+    # ---- round-4 grid (VERDICT r3 next #4): every README accuracy
+    # claim traces to an on-chip dB cell, including the corners where
+    # the MXU residual path is backend-dependent ----
+    # attenuation sweep on the flagship ratio (presets + the 218 cap)
+    ("acc_flag_a109", ["--atten", "109.56",
+                       "--configs", "fast,high,ozaki"], 1800),
+    ("acc_flag_a136", ["--atten", "136.45",
+                       "--configs", "fast,high,ozaki"], 1800),
+    ("acc_flag_a218", ["--atten", "218",
+                       "--configs", "fast,high,ozaki"], 1800),
+    # transition-band extremes (CDSPFIRFilter.h:77-90 limits)
+    ("acc_flag_tb05", ["--tb", "0.5", "--configs", "fast,high"], 2400),
+    ("acc_flag_tb45", ["--tb", "45", "--configs", "fast,high"], 1800),
+    # downsampling preset corners
+    ("acc_down", ["--src", "96000", "--dst", "44100",
+                  "--configs", "fast,high,ozaki"], 1800),
+    ("acc_down_a218", ["--src", "96000", "--dst", "44100",
+                       "--atten", "218", "--configs", "fast,high"], 1800),
+    # fractional-bank hot path
+    ("acc_48k", ["--src", "44100", "--dst", "48000",
+                 "--configs", "fast,high,ozaki"], 1800),
+    ("acc_48k_a136", ["--src", "44100", "--dst", "48000",
+                      "--atten", "136.45", "--configs", "fast,high"], 1800),
+    # poly corners (the -143.2 dB margin was thin; map atten spread)
+    ("acc_poly_a136", ["--src", "44100", "--dst", "96001",
+                       "--atten", "136.45", "--configs", "fast,high"], 1800),
+    ("acc_poly_a218", ["--src", "44100", "--dst", "96001",
+                       "--atten", "218", "--configs", "fast,high"], 1800),
+    # PCM -> DSD64 direction (sacd.cpp workload, up path)
+    ("acc_to_dsd", ["--src", "44100", "--dst", "2822400", "--atten", "150",
+                    "--seconds", "0.05", "--channels", "2",
+                    "--configs", "fast"], 2400),
 ]
 
 

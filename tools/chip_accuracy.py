@@ -30,6 +30,8 @@ CONFIGS = {
     "hp_dfft_pallas5": ("high", False, "pallas_fft5", "auto"),
     "fast_pallas_fused": ("fast", True, "pallas", "auto"),
     "high_pallas_fused": ("high", True, "pallas", "auto"),
+    # error-free split-operand MXU guarantee engine (ops/ozaki.py)
+    "ozaki": ("high", False, "ozaki", "ozaki"),
 }
 
 
@@ -40,6 +42,7 @@ def main(argv=None):
     ap.add_argument("--src", type=float, default=44100)
     ap.add_argument("--dst", type=float, default=96000)
     ap.add_argument("--atten", type=float, default=180.15)
+    ap.add_argument("--tb", type=float, default=2.0)
     ap.add_argument("--phase", type=int, default=0,
                     help="0=linear, 1=minimum phase")
     ap.add_argument("--configs", default="fast,high,hp_dfft_pallas")
@@ -59,7 +62,7 @@ def main(argv=None):
     n = int(args.src * args.seconds)
     rng = np.random.default_rng(7)
     x = rng.standard_normal((args.channels, n)) * 0.5
-    orc = OracleResampler(args.src, args.dst, 4096, 2.0, args.atten,
+    orc = OracleResampler(args.src, args.dst, 4096, args.tb, args.atten,
                           args.phase)
     out_len = int(np.floor(n * args.dst / args.src))
     ref = np.stack([orc.oneshot(c, out_len) for c in x])
@@ -69,7 +72,7 @@ def main(argv=None):
         precision, fused, conv_engine, frac_engine = CONFIGS[label]
         t0 = time.time()
         try:
-            rs = Resampler(args.src, args.dst, 2.0, args.atten,
+            rs = Resampler(args.src, args.dst, args.tb, args.atten,
                            args.phase,
                            dtype=jnp.float32, precision=precision,
                            fused=fused, conv_engine=conv_engine,
@@ -91,6 +94,7 @@ def main(argv=None):
               f"({time.time()-t0:.0f}s)", file=sys.stderr)
     print(json.dumps({"metric": "chip_accuracy_db", "phase": args.phase,
                       "src": args.src, "dst": args.dst,
+                      "atten": args.atten, "tb": args.tb,
                       "results": results}))
     return 0
 
