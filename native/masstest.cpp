@@ -4,7 +4,17 @@
  * -fsanitize=address,undefined and exercised by tests/test_native.py).
  *
  * Usage: masstest <plan.blob> <n_samples> [seed] [threads]
- * Streams n_samples of noise in random-sized chunks, clears and repeats
+ *        masstest <plan.blob> --dump <in.f64> <out.f64> <out_len> [seed]
+ * Dump mode (the unified differential fuzzer's native executor,
+ * tests/test_differential_slow.py): reads raw float64 input, streams it
+ * through the engine in LCG-random-sized chunks, zero-flushes the
+ * pipeline latency until out_len outputs exist (CDSPResampler.h:592-651
+ * oneshot contract), and writes the first out_len outputs as raw
+ * float64 — so the exact samples compared against the other three
+ * executors are produced UNDER the sanitizers when run via the
+ * masstest_asan build.
+ * Default mode: streams n_samples of noise in random-sized chunks,
+ * clears and repeats
  * once (state-reset coverage), prints a checksum — then streams one
  * steady-state timed pass in 8192-sample chunks and prints Mrops
  * (1e-6 * input-samples / second, the bench/r8bfreesrc.cpp:140-141
@@ -21,6 +31,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
+#include <string_view>
 #include <thread>
 #include <vector>
 
@@ -48,6 +59,73 @@ int main(int argc, char **argv) {
         return 2;
     }
     std::fclose(f);
+
+    if (std::string_view(argv[2]) == "--dump") {
+        if (argc < 6) {
+            std::fprintf(stderr, "usage: %s blob --dump in out len [seed]\n",
+                         argv[0]);
+            return 2;
+        }
+        FILE *fi = std::fopen(argv[3], "rb");
+        if (!fi) {
+            std::perror("open input");
+            return 2;
+        }
+        std::fseek(fi, 0, SEEK_END);
+        long ibytes = std::ftell(fi);
+        std::fseek(fi, 0, SEEK_SET);
+        std::vector<double> in((size_t)(ibytes / 8));
+        if (std::fread(in.data(), 8, in.size(), fi) != in.size()) {
+            std::fclose(fi);
+            return 2;
+        }
+        std::fclose(fi);
+        long want = std::atol(argv[5]);
+        uint64_t s = argc > 6 ? (uint64_t)std::atoll(argv[6]) : 42;
+        r8bt_handle h = r8bt_create_from_blob(blob.data(), blob.size());
+        if (!h) {
+            std::fprintf(stderr, "blob rejected\n");
+            return 1;
+        }
+        std::vector<double> got;
+        got.reserve((size_t)want);
+        long fed = 0;
+        std::vector<double> zeros(1024, 0.0);
+        while ((long)got.size() < want) {
+            long c = 1 + (long)(lcg(s) % 1024);
+            const double *ip;
+            if (fed < (long)in.size()) {
+                if (fed + c > (long)in.size()) c = (long)in.size() - fed;
+                ip = in.data() + fed;
+            } else {
+                ip = zeros.data();  /* latency flush */
+            }
+            double *out = nullptr;
+            long m = r8bt_process(h, ip, c, &out);
+            if (m < 0) {
+                std::fprintf(stderr, "process failed\n");
+                r8bt_delete(h);
+                return 1;
+            }
+            got.insert(got.end(), out, out + m);
+            fed += c;
+            if (fed > (long)in.size() + 64 * want + (1 << 22)) {
+                std::fprintf(stderr, "flush did not converge\n");
+                r8bt_delete(h);
+                return 1;
+            }
+        }
+        r8bt_delete(h);
+        FILE *fo = std::fopen(argv[4], "wb");
+        if (!fo) {
+            std::perror("open output");
+            return 2;
+        }
+        std::fwrite(got.data(), 8, (size_t)want, fo);
+        std::fclose(fo);
+        std::printf("dump ok %ld\n", want);
+        return 0;
+    }
 
     long n = std::atol(argv[2]);
     uint64_t seed = argc > 3 ? (uint64_t)std::atoll(argv[3]) : 42;

@@ -115,9 +115,21 @@ class Resampler:
         lives in StreamResampler, which has its own clear())."""
 
     def _chain(self, x: jnp.ndarray) -> jnp.ndarray:
+        # valid-prefix seam protocol: stages that implement apply_v hand
+        # their raw (unsliced) framing buffer + a logical length to the
+        # next stage, so the per-seam prefix slice and the consumer's
+        # re-pad (each one full-array HBM round trip) never execute;
+        # other stages get the sliced view and return exact outputs
+        n = x.shape[1]
         for e in self.execs:
-            x = e.apply(x)
-        return x
+            if hasattr(e, "apply_v"):
+                x, n = e.apply_v(x, n)
+            else:
+                if x.shape[1] != n:
+                    x = x[:, :n]
+                x = e.apply(x)
+                n = x.shape[1]
+        return x if x.shape[1] == n else x[:, :n]
 
     def out_len_for_in(self, n_in: int) -> int:
         return chain_out_len(self.plan.stages, n_in)

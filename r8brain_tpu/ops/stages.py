@@ -843,7 +843,8 @@ class ConvExec:
                               L_f, B * up, CT=CT, skT_lo=lo)
         return y[:, :M]
 
-    def _apply_toeplitz(self, x: jnp.ndarray, M: int) -> jnp.ndarray:
+    def _apply_toeplitz(self, x: jnp.ndarray, M: int,
+                        raw: bool = False) -> jnp.ndarray:
         spec = self.spec
         C, N = x.shape
         up, down = spec.up, spec.down
@@ -872,7 +873,7 @@ class ConvExec:
                                                jnp.asarray(Tlo[1])))
             out = o if out is None else out + o
         y = out.reshape(C, n_blocks * B * up)
-        return y[:, :M]
+        return y if raw else y[:, :M]
 
     def _apply_direct(self, x: jnp.ndarray, M: int) -> jnp.ndarray:
         spec = self.spec
@@ -914,6 +915,24 @@ class ConvExec:
 
     def out_len(self, n_in: int) -> int:
         return stage_out_len(self.spec, n_in)
+
+    def apply_v(self, x: jnp.ndarray, n_valid: int):
+        """Valid-prefix seam protocol: ``x[:, :n_valid]`` is the logical
+        input, columns beyond it are a previous stage's raw (unsliced)
+        framing surplus.  Returns ``(buf, m)`` with the logical output in
+        ``buf[:, :m]`` and framing surplus beyond — bit-identical to
+        ``apply(x[:, :n_valid])[:, :m]`` because the banded operator's
+        nonzero rows for every kept output read only the valid prefix
+        (stage output counts are defined by stream availability,
+        CDSPProcessor.h:64-127); surplus columns feed only outputs the
+        next seam discards.  Skipping the prefix slice and shrinking the
+        right pad saves one full-array HBM round trip per stage seam."""
+        M = self.out_len(n_valid)
+        if self.engine != "toeplitz" or M <= 0:
+            xl = x if x.shape[1] == n_valid else x[:, :n_valid]
+            y = self.apply(xl)
+            return y, y.shape[1]
+        return self._apply_toeplitz(x, M, raw=True), M
 
     def apply(self, x: jnp.ndarray) -> jnp.ndarray:
         spec = self.spec
@@ -1017,16 +1036,21 @@ class HBUpExec:
     """
 
     def __init__(self, spec: HBUpStage, dtype=jnp.float32,
-                 engine: str = "auto", block: int = 128):
+                 engine: str = "auto", block: int = 128,
+                 precision: str = "fast"):
         self.spec = spec
         self.dtype = jnp.dtype(dtype)
         self.taps = np.asarray(spec.hb.taps, dtype=np.float64).astype(dtype)
         self.nt = spec.hb.num_taps
         if engine == "auto":
             engine = "matmul" if self.dtype == jnp.float32 else "stencil"
+        if engine == "ozaki" and self.dtype != jnp.float32:
+            engine = "stencil"  # guarantee splitting is an f32-path tool
         self.engine = engine
+        self.precision = (precision if self.dtype == jnp.float32
+                          and engine in ("matmul", "ozaki") else "fast")
         self.B = block
-        if engine == "matmul":
+        if engine in ("matmul", "ozaki"):
             nt, B = self.nt, self.B
             t64 = np.asarray(spec.hb.taps, dtype=np.float64)
             L_f = B + 2 * nt
@@ -1038,6 +1062,22 @@ class HBUpExec:
                     T[j + nt - i, 2 * j + 1] += t64[i]
             self.T = T.astype(self.dtype)
             self.L_f = L_f
+            self.T_lo = None
+            if engine == "ozaki":
+                # error-free split-operand HB pass (ops/ozaki.py): a deep
+                # HB cascade under plain f32 accumulation drifts to
+                # ~-140 dB vs the oracle — past the -141 dB class the
+                # guarantee engine owns on any backend (found by the
+                # unified differential fuzzer,
+                # tests/test_differential_slow.py, 8x-down family)
+                from .ozaki import split_operator_host
+                self.oz_parts, _ = split_operator_host(T)
+            elif self.precision == "high":
+                # kernel-representation residual for the default high
+                # mode (identity columns are exact; only tap rounding
+                # survives)
+                lo = (T - self.T.astype(np.float64)).astype(np.float32)
+                self.T_lo = truncate_residual(lo, float(np.abs(T).max()))
 
     def out_len(self, n_in: int) -> int:
         return stage_out_len(self.spec, n_in)
@@ -1050,14 +1090,20 @@ class HBUpExec:
         nt, lat = self.nt, self.spec.out_latency
         x = x.astype(self.dtype)
         n_pairs = N - nt
-        if self.engine == "matmul":
+        if self.engine in ("matmul", "ozaki"):
             B, L_f = self.B, self.L_f
             n_blocks = -(-n_pairs // B)
             # pair n reads x[n - nt + l], l in [1, 2*nt]; xp[k] = x[k - nt]
             need = (n_blocks - 1) * B + L_f - nt
             pad_r = max(0, need - N)
             xp = jnp.pad(x, ((0, 0), (nt, pad_r)))
-            y3 = _framed_matmul(xp, jnp.asarray(self.T), n_blocks, B)
+            if self.engine == "ozaki":
+                from .ozaki import framed_matmul_ozaki
+                y3 = framed_matmul_ozaki(xp, jnp.asarray(self.oz_parts),
+                                         n_blocks, B)
+            else:
+                y3 = _framed_matmul(xp, jnp.asarray(self.T), n_blocks, B,
+                                    T_lo=self.T_lo)
             pre = y3.reshape(C, n_blocks * 2 * B)
             return pre[:, lat : lat + M]
         # stencil: symmetric shifted-add (half the multiplies, the same
@@ -1094,16 +1140,21 @@ class HBDownExec:
     """
 
     def __init__(self, spec: HBDownStage, dtype=jnp.float32,
-                 engine: str = "auto", block: int = 128):
+                 engine: str = "auto", block: int = 128,
+                 precision: str = "fast"):
         self.spec = spec
         self.dtype = jnp.dtype(dtype)
         self.taps = np.asarray(spec.hb.taps, dtype=np.float64).astype(dtype)
         self.nt = spec.hb.num_taps
         if engine == "auto":
             engine = "matmul" if self.dtype == jnp.float32 else "stencil"
+        if engine == "ozaki" and self.dtype != jnp.float32:
+            engine = "stencil"  # guarantee splitting is an f32-path tool
         self.engine = engine
+        self.precision = (precision if self.dtype == jnp.float32
+                          and engine in ("matmul", "ozaki") else "fast")
         self.B = block
-        if engine == "matmul":
+        if engine in ("matmul", "ozaki"):
             nt = self.nt
             h = np.zeros(4 * nt - 1, dtype=np.float64)
             h[2 * nt - 1] = 1.0  # center sample x[2n]
@@ -1118,6 +1169,15 @@ class HBDownExec:
                 T[2 * b : 2 * b + h.shape[0], b] = h
             self.T = T.astype(self.dtype)
             self.L_f = L_f
+            self.T_lo = None
+            if engine == "ozaki":
+                # error-free split-operand HB pass; see HBUpExec.__init__
+                from .ozaki import split_operator_host
+                self.oz_parts, _ = split_operator_host(T)
+            elif self.precision == "high":
+                # tap-rounding residual pass; see HBUpExec.__init__
+                lo = (T - self.T.astype(np.float64)).astype(np.float32)
+                self.T_lo = truncate_residual(lo, float(np.abs(T).max()))
 
     def out_len(self, n_in: int) -> int:
         return stage_out_len(self.spec, n_in)
@@ -1130,7 +1190,7 @@ class HBDownExec:
         nt, lat = self.nt, self.spec.out_latency
         cnt = (N - 2 * nt) // 2 + 1
         x = x.astype(self.dtype)
-        if self.engine == "matmul":
+        if self.engine in ("matmul", "ozaki"):
             B, L_f = self.B, self.L_f
             n_blocks = -(-cnt // B)
             hop = 2 * B
@@ -1138,7 +1198,13 @@ class HBDownExec:
             need = (n_blocks * B - 1) * 2 + 2 * nt
             pad_r = max(0, need - N)
             xp = jnp.pad(x, ((0, 0), (2 * nt - 1, pad_r)))
-            y3 = _framed_matmul(xp, jnp.asarray(self.T), n_blocks, hop)
+            if self.engine == "ozaki":
+                from .ozaki import framed_matmul_ozaki
+                y3 = framed_matmul_ozaki(xp, jnp.asarray(self.oz_parts),
+                                         n_blocks, hop)
+            else:
+                y3 = _framed_matmul(xp, jnp.asarray(self.T), n_blocks, hop,
+                                    T_lo=self.T_lo)
             y = y3.reshape(C, n_blocks * B)
             return y[:, lat : lat + M]
         # stencil: y[n] = x[2n] + sum_i taps[i]*(xo[n+i] + xo[n-1-i])
@@ -1505,6 +1571,26 @@ class FracPolyExec:
         start = s - self.fll
         return start.astype(np.int32), fti.astype(np.int32), t
 
+    def apply_v(self, x: jnp.ndarray, n_valid: int):
+        """Valid-prefix seam protocol (see ConvExec.apply_v): consumes a
+        raw framing buffer, absorbs the in_latency slice into the host
+        position table, and returns its own raw group buffer + the
+        logical output count.  Bit-identical to the sliced path: the
+        banded operator places filter taps only at offsets inside the
+        valid prefix for kept outputs; surplus columns (edge-extended
+        positions) are discarded by the consumer seam."""
+        spec = self.spec
+        M = stage_out_len(spec, n_valid)
+        if self.engine != "banded" or M <= 0:
+            xl = x if x.shape[1] == n_valid else x[:, :n_valid]
+            y = self.apply(xl)
+            return y, y.shape[1]
+        start_np, fti_np, t_np = self.host_positions(M)
+        start_np = start_np + spec.in_latency  # latency slice -> offset
+        buf = self._apply_banded(x, x.shape[1], M, start_np, fti_np,
+                                 t_np, raw=True)
+        return buf, M
+
     def apply(self, x: jnp.ndarray) -> jnp.ndarray:
         spec = self.spec
         C, N = x.shape
@@ -1532,7 +1618,8 @@ class FracPolyExec:
             y = y + flt[None, :, i] * jnp.take(xp, start + i, axis=1)
         return y
 
-    def _apply_banded(self, x, N, M, start_np, fti_np, t_np):
+    def _apply_banded(self, x, N, M, start_np, fti_np, t_np,
+                      raw: bool = False):
         C = x.shape[0]
         G, S, W, fl = self.G, self.S, self.W, self.fl
         n_grp = -(-M // G)
@@ -1619,17 +1706,18 @@ class FracPolyExec:
                                 jax.lax.Precision.HIGHEST)
             outs.append(o.reshape(C, nloc * G))
         y = jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
-        return y[:, :M]
+        return y if raw else y[:, :M]
 
 
 def build_exec(spec: Stage, dtype=jnp.float32, precision: str = "fast",
                conv_engine: str = "auto", frac_engine: str = "auto"):
     if isinstance(spec, ConvStage):
         return ConvExec(spec, dtype, precision=precision, engine=conv_engine)
+    hb_engine = "ozaki" if conv_engine == "ozaki" else "auto"
     if isinstance(spec, HBUpStage):
-        return HBUpExec(spec, dtype)
+        return HBUpExec(spec, dtype, precision=precision, engine=hb_engine)
     if isinstance(spec, HBDownStage):
-        return HBDownExec(spec, dtype)
+        return HBDownExec(spec, dtype, precision=precision, engine=hb_engine)
     if isinstance(spec, FracStage):
         if spec.is_whole:
             return FracWholeExec(spec, dtype, precision=precision,

@@ -1,0 +1,165 @@
+"""Unified 4-executor differential fuzzer (VERDICT r3 next #6).
+
+The existing parity tests are pairwise (oracle<->goldens, f32<->oracle,
+native<->plan-blob).  This sweep draws, per trial, a full random config
+(src, dst, tb, atten, phase, chunking) and runs the SAME signal through
+all four executors:
+
+  orc  — the f64 CPU oracle (models/oracle.py)
+  f32  — the production f32 XLA chain (precision="fast", fused auto)
+  oz   — the backend-independent guarantee engine (precision="high",
+         conv_engine=frac_engine="ozaki", ops/ozaki.py)
+  nat  — the native C++ engine, executed UNDER AddressSanitizer+UBSan
+         via masstest_asan's --dump mode, streaming the input in
+         LCG-random chunk sizes (the chunking draw), zero-flushing the
+         tail — so the exact compared samples come from the sanitized
+         build (the reference runs the same methodology under Dr.Memory,
+         /root/reference/bench/masstest.cpp:46-182).
+
+Every pair is asserted against its executors' class bounds (dB relative
+to the reference signal RMS, the bench/rmscompare.cpp:127-138
+convention; each class bound matches what the repo documents for that
+executor — tests/test_tpu_exec.py, tests/test_ozaki.py):
+
+  orc<->nat             < -240  (both f64; plan-blob exactness)
+  orc<->oz,  oz<->nat   < -141  (the 24-bit golden-equality class,
+                                 bench/README.md:9-11 — the guarantee
+                                 engine owns it on ANY backend)
+  orc<->f32, f32<->nat  < -115  (the fast f32 class: plain f32
+                                 accumulation noise floor; the -141
+                                 claims for fast are on-chip
+                                 measurements, tools/chip_accuracy.py)
+  f32<->oz              < -112  (triangle: -115 + -141 amplitudes)
+
+The per-pair worst dB across all trials is printed as one JSON line so
+SLOWTIER_r<N>.log reports it.  Trial count: R8BT_FUZZ_TRIALS (default
+200).  Attenuation is drawn over [100, 184] — covering every shipped
+preset (109.56 / 136.45 / 180.15); the 206.91/218 extremes are pinned
+separately (tests/test_ozaki.py, tools/chip_accuracy.py grid rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from .helpers import lcg_uniform, rms_db
+
+pytestmark = pytest.mark.slow
+
+NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
+
+
+def _rel_db(y: np.ndarray, ref: np.ndarray) -> float:
+    return rms_db(y - ref) - rms_db(ref)
+
+
+def _draw_config(rng: np.random.Generator, trial: int):
+    """One random (src, dst, tb, atten, phase) draw, cycling through the
+    reference's ratio families (CDSPResampler.h:117-394 decision tree)."""
+    fam = trial % 4
+    src = 44100.0
+    if fam == 0:
+        # masstest family: non-integer ratio -> polynomial interpolator
+        dst = float(np.round(src * (1.0 + 9.0 * rng.random()), 2))
+    elif fam == 1:
+        # zerotest family: rational k/20 -> whole-stepping / intermediate
+        k = int(rng.integers(21, 641))
+        dst = src * k / 20.0
+    elif fam == 2:
+        # pow2 / 3*2^c branches -> half-band cascades
+        dst = src * float(rng.choice([2, 3, 4, 6, 8, 12, 16]))
+    else:
+        # single-step common ratios {1/2, 1/3, 2/3, 3/2, 3/4} + friends
+        num, den = [(1, 2), (1, 3), (2, 3), (3, 2), (3, 4),
+                    (4, 3), (5, 4)][int(rng.integers(0, 7))]
+        dst = src * num / den
+    if fam != 3 and rng.random() < 0.45:
+        src, dst = dst, src  # downsampling direction
+    tb = float(np.round(np.exp(rng.uniform(np.log(0.75), np.log(12.0))), 3))
+    atten = float(np.round(rng.uniform(100.0, 184.0), 2))
+    phase = 1 if rng.random() < 0.15 else 0
+    return src, dst, tb, atten, phase
+
+
+def _native_dump(blob: bytes, x64: np.ndarray, out_len: int, seed: int,
+                 tmp: Path) -> np.ndarray:
+    """Run the ASan-built native engine in --dump mode (random-chunk
+    streaming + zero-flush) and return its out_len f64 samples."""
+    bp, ip, op = tmp / "p.blob", tmp / "in.f64", tmp / "out.f64"
+    bp.write_bytes(blob)
+    x64.astype("<f8").tofile(ip)
+    r = subprocess.run(
+        [str(NATIVE_DIR / "masstest_asan"), str(bp), "--dump", str(ip),
+         str(op), str(out_len), str(seed)],
+        capture_output=True, text=True)
+    assert r.returncode == 0, (r.stdout, r.stderr[-2000:])
+    y = np.fromfile(op, dtype="<f8")
+    assert y.shape[0] == out_len
+    return y
+
+
+@pytest.mark.skipif(shutil.which("g++") is None, reason="no C++ toolchain")
+def test_differential_fuzzer_four_executors(tmp_path):
+    from r8brain_tpu.models.oracle import OracleResampler
+    from r8brain_tpu.models.plan import make_plan
+    from r8brain_tpu.models.resampler import Resampler
+    from r8brain_tpu.native import build_plan_blob
+
+    r = subprocess.run(["make", "-C", str(NATIVE_DIR), "masstest_asan"],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+
+    trials = int(os.environ.get("R8BT_FUZZ_TRIALS", "200"))
+    rng = np.random.default_rng(20260820)
+    bounds = {"orc_nat": -240.0, "orc_f32": -115.0, "orc_oz": -141.0,
+              "f32_oz": -112.0, "f32_nat": -115.0, "oz_nat": -141.0}
+    worst = {k: (-np.inf, None) for k in bounds}
+
+    for trial in range(trials):
+        src, dst, tb, atten, phase = _draw_config(rng, trial)
+        cfg = (trial, src, dst, tb, atten, phase)
+        plan = make_plan(src, dst, tb, atten, phase)
+        n = int(rng.integers(2500, 6000))
+        # f32-representable input so the f32/oz executors see the SAME
+        # signal the f64 executors do (excludes representation error,
+        # the tests/test_ozaki.py convention)
+        x32 = lcg_uniform(7000 + trial, n).astype(np.float32)
+        x64 = x32.astype(np.float64)
+        out_len = int(np.floor(n * dst / src))
+
+        orc = OracleResampler(src, dst, 4096, tb, atten, phase,
+                              plan=plan).oneshot(x64, out_len)
+        f32 = np.asarray(
+            Resampler(src, dst, tb, atten, phase, dtype="float32",
+                      plan=plan, precision="fast").oneshot(x32, out_len),
+            dtype=np.float64)
+        oz = np.asarray(
+            Resampler(src, dst, tb, atten, phase, dtype="float32",
+                      plan=plan, precision="high", fused=False,
+                      conv_engine="ozaki", frac_engine="ozaki"
+                      ).oneshot(x32, out_len),
+            dtype=np.float64)
+        nat = _native_dump(build_plan_blob(plan), x64, out_len,
+                           1000 + trial, tmp_path)
+
+        pairs = {"orc_nat": (orc, nat), "orc_f32": (orc, f32),
+                 "orc_oz": (orc, oz), "f32_oz": (f32, oz),
+                 "f32_nat": (f32, nat), "oz_nat": (oz, nat)}
+        for name, (a, b) in pairs.items():
+            d = _rel_db(b, a)
+            if d > worst[name][0]:
+                worst[name] = (d, cfg)
+            assert d < bounds[name], (name, d, cfg)
+
+    summary = {"metric": "differential_fuzzer", "trials": trials,
+               "worst_db": {k: round(v[0], 1) for k, v in worst.items()},
+               "worst_cfg": {k: v[1] for k, v in worst.items()}}
+    print(json.dumps(summary), file=sys.stderr)
