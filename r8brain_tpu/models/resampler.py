@@ -17,6 +17,7 @@ with the exact number of zeros whose outputs cover ``out_len``
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import jax
@@ -119,11 +120,28 @@ class Resampler:
         # their raw (unsliced) framing buffer + a logical length to the
         # next stage, so the per-seam prefix slice and the consumer's
         # re-pad (each one full-array HBM round trip) never execute;
-        # other stages get the sliced view and return exact outputs
+        # other stages get the sliced view and return exact outputs.
+        # A host-side backward pass first propagates each consumer's
+        # physical framing need so producers overproduce a few surplus
+        # blocks/groups instead of the consumer right-padding.
         n = x.shape[1]
+        n_log = [n]
         for e in self.execs:
+            n_log.append(e.out_len(n_log[-1])
+                         if hasattr(e, "out_len") else -1)
+        need = [None] * (len(self.execs) + 1)
+        # DEFAULT OFF: interleaved chip A/B (tools/ab_poly.py, round 4)
+        # measured overproduction at -2% — surplus blocks cost real MXU
+        # time while the right-pads they remove overlap with compute
+        if os.environ.get("R8BT_SEAM_MINOUT", "0") == "1":
+            for i in range(len(self.execs) - 1, -1, -1):
+                if (hasattr(self.execs[i], "phys_in_need")
+                        and n_log[i] >= 0):
+                    need[i] = self.execs[i].phys_in_need(
+                        n_log[i], min_out=need[i + 1])
+        for i, e in enumerate(self.execs):
             if hasattr(e, "apply_v"):
-                x, n = e.apply_v(x, n)
+                x, n = e.apply_v(x, n, min_out=need[i + 1])
             else:
                 if x.shape[1] != n:
                     x = x[:, :n]

@@ -844,13 +844,17 @@ class ConvExec:
         return y[:, :M]
 
     def _apply_toeplitz(self, x: jnp.ndarray, M: int,
-                        raw: bool = False) -> jnp.ndarray:
+                        raw: bool = False, min_out=None) -> jnp.ndarray:
         spec = self.spec
         C, N = x.shape
         up, down = spec.up, spec.down
         B = self.B_toep
         n_cyc = -(-M // up)
         n_blocks = -(-n_cyc // B)
+        if min_out is not None:
+            # overproduce whole blocks so the seam consumer's framing
+            # right-pad (one full-array HBM copy) vanishes
+            n_blocks = max(n_blocks, -(-(-(-min_out // up)) // B))
         pad_l = max(0, -self.s_min)
         # ONE pad covering both the left window extension and every
         # chunk's framed-matmul buffer ((n_blocks + n_seg)*hop from its
@@ -916,7 +920,7 @@ class ConvExec:
     def out_len(self, n_in: int) -> int:
         return stage_out_len(self.spec, n_in)
 
-    def apply_v(self, x: jnp.ndarray, n_valid: int):
+    def apply_v(self, x: jnp.ndarray, n_valid: int, min_out=None):
         """Valid-prefix seam protocol: ``x[:, :n_valid]`` is the logical
         input, columns beyond it are a previous stage's raw (unsliced)
         framing surplus.  Returns ``(buf, m)`` with the logical output in
@@ -932,7 +936,28 @@ class ConvExec:
             xl = x if x.shape[1] == n_valid else x[:, :n_valid]
             y = self.apply(xl)
             return y, y.shape[1]
-        return self._apply_toeplitz(x, M, raw=True), M
+        return self._apply_toeplitz(x, M, raw=True, min_out=min_out), M
+
+    def phys_in_need(self, n_valid: int, min_out=None):
+        """Physical input columns that make the toeplitz framing
+        right-pad vanish under the seam protocol, or None when a left
+        extension (s_min != 0) forces a pad/slice regardless.  Mirrors
+        _apply_toeplitz's need computation exactly."""
+        if self.engine != "toeplitz" or self.s_min != 0:
+            return None
+        M = self.out_len(n_valid)
+        if M <= 0:
+            return None
+        up, down, B = self.spec.up, self.spec.down, self.B_toep
+        n_blocks = -(-(-(-M // up)) // B)
+        if min_out is not None:
+            n_blocks = max(n_blocks, -(-(-(-min_out // up)) // B))
+        hop = B * down
+        need = 0
+        for d0, T, _ in self.toep_chunks:
+            n_seg = -(-T.shape[0] // hop)
+            need = max(need, d0 + (n_blocks + n_seg) * hop)
+        return need + self.s_min
 
     def apply(self, x: jnp.ndarray) -> jnp.ndarray:
         spec = self.spec
@@ -1496,10 +1521,12 @@ class FracPolyExec:
     """
 
     def __init__(self, spec: FracStage, dtype=jnp.float32,
-                 engine: str = "auto"):
+                 engine: str = "auto", precision: str = "fast"):
         assert not spec.is_whole
         self.spec = spec
         self.dtype = jnp.dtype(dtype)
+        self.precision = precision if jnp.dtype(dtype) == jnp.float32 \
+            else "fast"
         tab = np.asarray(spec.bank.table, dtype=np.float64)  # [rows, fl, 3]
         self.tab64 = tab  # host f64 spline planes (banded flt build)
         self.c0 = tab[:, :, 0].astype(dtype)
@@ -1571,25 +1598,55 @@ class FracPolyExec:
         start = s - self.fll
         return start.astype(np.int32), fti.astype(np.int32), t
 
-    def apply_v(self, x: jnp.ndarray, n_valid: int):
+    def apply_v(self, x: jnp.ndarray, n_valid: int, min_out=None):
         """Valid-prefix seam protocol (see ConvExec.apply_v): consumes a
         raw framing buffer, absorbs the in_latency slice into the host
         position table, and returns its own raw group buffer + the
         logical output count.  Bit-identical to the sliced path: the
         banded operator places filter taps only at offsets inside the
-        valid prefix for kept outputs; surplus columns (edge-extended
-        positions) are discarded by the consumer seam."""
+        valid prefix for kept outputs; surplus columns (closed-form
+        positions past the logical end) are discarded by the consumer
+        seam.  ``min_out``: produce at least this many physical columns
+        (a handful of extra groups) so the consumer's framing right-pad
+        — one more full-array HBM copy — vanishes."""
         spec = self.spec
         M = stage_out_len(spec, n_valid)
         if self.engine != "banded" or M <= 0:
             xl = x if x.shape[1] == n_valid else x[:, :n_valid]
             y = self.apply(xl)
             return y, y.shape[1]
-        start_np, fti_np, t_np = self.host_positions(M)
+        G = self.G
+        n_grp = -(-M // G)
+        if min_out is not None:
+            n_grp = max(n_grp, -(-min_out // G))
+        Mp = n_grp * G
+        # positions are closed-form in the absolute output index
+        # (CDSPFracInterpolator.h:907-919), so surplus positions are real
+        start_np, fti_np, t_np = self.host_positions(Mp)
         start_np = start_np + spec.in_latency  # latency slice -> offset
-        buf = self._apply_banded(x, x.shape[1], M, start_np, fti_np,
+        buf = self._apply_banded(x, x.shape[1], Mp, start_np, fti_np,
                                  t_np, raw=True)
         return buf, M
+
+    def phys_in_need(self, n_valid: int, min_out=None):
+        """Physical input columns that make this stage's framing
+        right-pad vanish under the seam protocol, or None when a left
+        extension makes the pad unavoidable.  Must stay geometry-
+        consistent with apply_v/_apply_banded (shared _banded_geom)."""
+        if self.engine != "banded":
+            return None
+        M = stage_out_len(self.spec, n_valid)
+        if M <= 0:
+            return None
+        G = self.G
+        n_grp = -(-M // G)
+        if min_out is not None:
+            n_grp = max(n_grp, -(-min_out // G))
+        start_np, _f, _t = self.host_positions(n_grp * G)
+        start_np = start_np + self.spec.in_latency
+        _chunks, need_len, pad_l, _W = self._banded_geom(n_grp * G,
+                                                         start_np)
+        return need_len if pad_l == 0 else None
 
     def apply(self, x: jnp.ndarray) -> jnp.ndarray:
         spec = self.spec
@@ -1618,24 +1675,51 @@ class FracPolyExec:
             y = y + flt[None, :, i] * jnp.take(xp, start + i, axis=1)
         return y
 
+    def _banded_geom(self, Mp: int, start_np: np.ndarray):
+        """Framing geometry shared by _apply_banded and phys_in_need:
+        (chunks, need_len, pad_l, W) for full-length (n_grp*G) window
+        starts."""
+        G, S, W, fl = self.G, self.S, self.W, self.fl
+        n_grp = Mp // G
+        pad_l = max(0, -int(start_np.min()))
+        sg = (start_np + pad_l).reshape(n_grp, G)  # window starts per grp
+
+        # single-chunk widening: a modestly wider band W that absorbs the
+        # WHOLE drift span turns the 10+ drift chunks into one — no
+        # per-chunk frame trim (each a near-full-input HBM copy), no
+        # output concat, one operator upload.  Adopted only when the
+        # extra band MACs stay bounded (<= 1.45x) and the host operator
+        # literal stays under the embedding cap; otherwise the drift
+        # chunking below is unchanged.
+        m_i = np.arange(n_grp, dtype=np.int64)[:, None]
+        rel = sg - m_i * S  # group-local window starts
+        A1 = int(rel.min())
+        W1 = -(-(int(rel.max()) - A1 + fl) // 8) * 8
+        # DEFAULT OFF: interleaved chip A/B (tools/ab_poly.py, round 4)
+        # measured widening at -3..-5% — the extra band MACs cost more
+        # than the per-chunk trims, which XLA overlaps with MXU work
+        wide = (W1 <= int(1.45 * W) + 8
+                and n_grp * W1 * G <= 16_000_000
+                and os.environ.get("R8BT_POLY_WIDE", "0") == "1")
+        if wide:
+            W = W1
+        chunks, need_len, shift = chunk_drift_groups(
+            sg, sg, 1, S, fl, W, n_grp if wide else self.ngrp_max, W)
+        return chunks, need_len, pad_l + shift, W
+
     def _apply_banded(self, x, N, M, start_np, fti_np, t_np,
                       raw: bool = False):
         C = x.shape[0]
-        G, S, W, fl = self.G, self.S, self.W, self.fl
+        G, S, fl = self.G, self.S, self.fl
         n_grp = -(-M // G)
         Mp = n_grp * G
-        if Mp > M:  # edge-extend positions; surplus outputs sliced off
+        if Mp > M:  # non-seam caller: edge-extend the last partial group
             ext = Mp - M
             start_np = np.concatenate([start_np,
                                        np.repeat(start_np[-1], ext)])
             fti_np = np.concatenate([fti_np, np.repeat(fti_np[-1], ext)])
             t_np = np.concatenate([t_np, np.repeat(t_np[-1], ext)])
-        pad_l = max(0, -int(start_np.min()))
-        sg = (start_np + pad_l).reshape(n_grp, G)  # window starts per group
-
-        chunks, need_len, shift = chunk_drift_groups(
-            sg, sg, 1, S, fl, W, self.ngrp_max, W)
-        pad_l += shift
+        chunks, need_len, pad_l, W = self._banded_geom(Mp, start_np)
 
         pad_r = max(0, need_len - (N + pad_l))
         xp = jnp.pad(x.astype(self.dtype), ((0, 0), (pad_l, pad_r)))
@@ -1693,6 +1777,22 @@ class FracPolyExec:
                 for i in range(fl):
                     R_np[m_i, off + i, g_i] = flt_c[..., i]
                 R = jnp.asarray(R_np)
+                if self.precision == "high":
+                    # spline-operator representation residual: the f64
+                    # filter values' f32 rounding is the poly stage's
+                    # dominant error term (the differential fuzzer
+                    # measured the guarantee chain at -142.3 dB worst,
+                    # 1.3 dB over the class bound); one cheap
+                    # RESIDUAL_PRECISION banded pass restores ~30 dB of
+                    # margin.  Only on the host-literal branch — above
+                    # the embedding cap the device build keeps the fast
+                    # form (documented, R8B_TRACE visible).
+                    R_lo = np.zeros((nloc, W, G), dtype=np.float64)
+                    for i in range(fl):
+                        R_lo[m_i, off + i, g_i] = flt_np[..., i]
+                    R_lo = (R_lo - R_np.astype(np.float64)).astype(
+                        np.float32)
+                    R_lo_d = jnp.asarray(R_lo)
             else:
                 off_d = jnp.asarray(off)  # [nloc, G]
                 # banded operator R[m, w, g]: flt rows one-hot-placed at
@@ -1704,6 +1804,9 @@ class FracPolyExec:
                 R = jnp.swapaxes(R, 1, 2)  # [nloc, W, G]
             o = banded_contract(xp[:, A:], R, nloc, S, W,
                                 jax.lax.Precision.HIGHEST)
+            if host_R and self.precision == "high":
+                o = o + banded_contract(xp[:, A:], R_lo_d, nloc, S, W,
+                                        RESIDUAL_PRECISION)
             outs.append(o.reshape(C, nloc * G))
         y = jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
         return y if raw else y[:, :M]
@@ -1724,5 +1827,7 @@ def build_exec(spec: Stage, dtype=jnp.float32, precision: str = "fast",
                                  engine=frac_engine)
         poly_engine = frac_engine if frac_engine in ("auto", "banded",
                                                      "gather") else "auto"
-        return FracPolyExec(spec, dtype, engine=poly_engine)
+        return FracPolyExec(spec, dtype, engine=poly_engine,
+                            precision=("high" if frac_engine == "ozaki"
+                                       else precision))
     raise TypeError(spec)
