@@ -398,6 +398,41 @@ class ConvExec:
                 Tlo = truncate_residual(lo_full, float(np.abs(Thi).max()))
             self.toep_chunks.append((d0, Thi, Tlo))
         self.B_toep = B
+        # Column-tiled variant (R8BT_TOEP_COLTILE=<tile cols>, 0=off):
+        # the banded operator's nonzeros for a tile of TC output columns
+        # span only D + (TC/up - 1)*down of its (B-1)*down + D rows, so
+        # row-windowed per-tile matmuls skip the band's zero corners
+        # (~18% of the MACs at TC=256, B=256) at the cost of more,
+        # narrower einsums + one output concat.  A/B'd on chip.
+        tc = int(os.environ.get("R8BT_TOEP_COLTILE", "0") or 0)
+        self.toep_tiles = None
+        if tc and tc % up == 0 and (B * up) % tc == 0 and tc < B * up:
+            tiles = []
+            for d0, Thi, _Tlo in self.toep_chunks:
+                dc = Thi.shape[0] - (B - 1) * down
+                T64 = None
+                if self.precision == "high":
+                    # rebuild the f64 operator for per-tile residuals
+                    T64 = np.zeros(Thi.shape, dtype=np.float64)
+                    for t in range(B):
+                        for j in range(up):
+                            T64[t * down : t * down + dc, t * up + j] = \
+                                sk64[j, d0 : d0 + dc]
+                per = []
+                for c0 in range(0, B * up, tc):
+                    t_lo, t_hi = c0 // up, (c0 + tc) // up
+                    r0 = t_lo * down
+                    r1 = (t_hi - 1) * down + dc
+                    Tt = np.ascontiguousarray(Thi[r0:r1, c0 : c0 + tc])
+                    Tlo_t = None
+                    if T64 is not None:
+                        lo = (T64[r0:r1, c0 : c0 + tc]
+                              - Tt.astype(np.float64)).astype(self.dtype)
+                        Tlo_t = truncate_residual(
+                            lo, float(np.abs(Thi).max()))
+                    per.append((c0, r0, Tt, Tlo_t))
+                tiles.append((d0, per))
+            self.toep_tiles = tiles
 
     def _build_ozaki(self, B: int = 256):
         """Error-free split-operand form of the banded-Toeplitz operator
@@ -866,16 +901,34 @@ class ConvExec:
         for d0, T, _ in self.toep_chunks:
             n_seg = -(-T.shape[0] // hop)
             need = max(need, d0 + (n_blocks + n_seg) * hop)
+        if self.toep_tiles is not None:
+            for d0, per in self.toep_tiles:
+                for c0, r0, Tt, _lo in per:
+                    n_seg = -(-Tt.shape[0] // hop)
+                    need = max(need,
+                               d0 + r0 + (n_blocks + n_seg) * hop)
         pad_r = max(0, need - (N - self.s_min))
         xp = jnp.pad(x.astype(self.dtype), ((0, 0), (pad_l, pad_r)))
         xp = xp[:, self.s_min + pad_l :]
         out = None
-        for d0, T, Tlo in self.toep_chunks:
-            o = _framed_matmul(
-                xp[:, d0:], jnp.asarray(T), n_blocks, B * down,
-                T_lo=None if Tlo is None else (Tlo[0],
-                                               jnp.asarray(Tlo[1])))
-            out = o if out is None else out + o
+        if self.toep_tiles is not None:
+            # row-windowed column tiles: skip the band's zero corners
+            for d0, per in self.toep_tiles:
+                parts = [
+                    _framed_matmul(
+                        xp[:, d0 + r0 :], jnp.asarray(Tt), n_blocks, hop,
+                        T_lo=None if Tlo_t is None else
+                        (Tlo_t[0], jnp.asarray(Tlo_t[1])))
+                    for c0, r0, Tt, Tlo_t in per]
+                o = jnp.concatenate(parts, axis=2)
+                out = o if out is None else out + o
+        else:
+            for d0, T, Tlo in self.toep_chunks:
+                o = _framed_matmul(
+                    xp[:, d0:], jnp.asarray(T), n_blocks, B * down,
+                    T_lo=None if Tlo is None else (Tlo[0],
+                                                   jnp.asarray(Tlo[1])))
+                out = o if out is None else out + o
         y = out.reshape(C, n_blocks * B * up)
         return y if raw else y[:, :M]
 
@@ -1703,8 +1756,16 @@ class FracPolyExec:
                 and os.environ.get("R8BT_POLY_WIDE", "0") == "1")
         if wide:
             W = W1
+        # ngrp_max was sized to the nominal slack; the REAL drift budget
+        # is W - fl - spread, which usually admits ~2-3x larger chunks.
+        # chunk_drift_groups halves on violation, so the budget governs
+        # by DEFAULT (measured +1% on chip, tools/ab_poly.py round 4:
+        # 2864 vs 2837 exec Mrops — fewer trims/concat pieces at zero
+        # extra MACs); R8BT_POLY_NGRPMAX=nominal restores the old cap.
+        ngrp_max = (self.ngrp_max if (not wide and os.environ.get(
+            "R8BT_POLY_NGRPMAX") == "nominal") else n_grp)
         chunks, need_len, shift = chunk_drift_groups(
-            sg, sg, 1, S, fl, W, n_grp if wide else self.ngrp_max, W)
+            sg, sg, 1, S, fl, W, ngrp_max, W)
         return chunks, need_len, pad_l + shift, W
 
     def _apply_banded(self, x, N, M, start_np, fti_np, t_np,
