@@ -85,8 +85,12 @@ def main(argv=None):
             continue
         # rmscompare convention: skip 50 ms at each end
         # (bench/rmscompare.cpp:72-86); stream start/flush transients are
-        # latency-bookkeeping regions, not steady-state accuracy
-        skip = int(0.05 * args.dst)
+        # latency-bookkeeping regions, not steady-state accuracy.  Capped
+        # at a quarter of the output so short high-rate signals (e.g.
+        # 0.05 s of DSD64: 50 ms of edges would swallow ALL 141k samples
+        # and the empty mean printed NaN, round-4 acc_to_dsd) still
+        # measure their middle half.
+        skip = min(int(0.05 * args.dst), out_len // 4)
         d = (y - ref)[:, skip : max(skip + 1, out_len - skip)]
         rms = 10.0 * np.log10(np.mean(d * d) + 1e-300)
         results[label] = round(rms, 1)
