@@ -106,6 +106,15 @@ def _framed_matmul(xp: jnp.ndarray, T: jnp.ndarray, n_blocks: int, hop: int,
     else:
         xpp = xp[:, :total]
     chunks = xpp.reshape(C, n_blocks + n_seg, hop)
+    if os.environ.get("R8BT_FRAMED_IM2COL") == "1" and T_lo is None:
+        # A/B variant: materialize the overlapping frames once (concat of
+        # the same segment views) so the contraction is ONE K=L_f GEMM
+        # instead of n_seg K=hop GEMMs — trades an overlap-duplicated
+        # HBM round trip for deeper-K MXU pipelining
+        frames = jnp.concatenate(
+            [chunks[:, e : n_blocks + e, : min(hop, L_f - e * hop)]
+             for e in range(n_seg)], axis=2)
+        return jnp.einsum("cbl,lk->cbk", frames, T, precision=precision)
     out = None
     for e in range(n_seg):
         w = min(hop, L_f - e * hop)
