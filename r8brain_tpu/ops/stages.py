@@ -469,7 +469,8 @@ class ConvExec:
         self.oz_Lf = L_f
         self.B_toep = B
 
-    def _apply_ozaki(self, x: jnp.ndarray, M: int) -> jnp.ndarray:
+    def _apply_ozaki(self, x: jnp.ndarray, M: int,
+                     raw: bool = False) -> jnp.ndarray:
         from .ozaki import channel_scale, framed_matmul_ozaki
         from .pallas_ozaki import HAVE_PALLAS, choose_ct, ozaki_matmul_pallas
 
@@ -508,11 +509,12 @@ class ConvExec:
                 y = ozaki_matmul_pallas(
                     xpp, sx, jnp.asarray(self.oz_parts), L_f, hop,
                     Kcols, CT)
-                return y[:C, :M].astype(self.dtype)
+                y = y[:C] if raw else y[:C, :M]
+                return y.astype(self.dtype)
         out = framed_matmul_ozaki(xp, jnp.asarray(self.oz_parts),
                                   n_blocks, hop)
         y = out.reshape(C, n_blocks * Kcols)
-        return y[:, :M].astype(self.dtype)
+        return (y if raw else y[:, :M]).astype(self.dtype)
 
     def _build_toeplitz_sym(self, B: int = 256) -> bool:
         """Centrosymmetry-folded banded-Toeplitz operators: HALF the MXU
@@ -994,11 +996,14 @@ class ConvExec:
         next seam discards.  Skipping the prefix slice and shrinking the
         right pad saves one full-array HBM round trip per stage seam."""
         M = self.out_len(n_valid)
-        if self.engine != "toeplitz" or M <= 0:
-            xl = x if x.shape[1] == n_valid else x[:, :n_valid]
-            y = self.apply(xl)
-            return y, y.shape[1]
-        return self._apply_toeplitz(x, M, raw=True, min_out=min_out), M
+        if M > 0 and self.engine == "toeplitz":
+            return self._apply_toeplitz(x, M, raw=True,
+                                        min_out=min_out), M
+        if M > 0 and self.engine == "ozaki":
+            return self._apply_ozaki(x, M, raw=True), M
+        xl = x if x.shape[1] == n_valid else x[:, :n_valid]
+        y = self.apply(xl)
+        return y, y.shape[1]
 
     def phys_in_need(self, n_valid: int, min_out=None):
         """Physical input columns that make the toeplitz framing
@@ -1363,6 +1368,21 @@ class FracWholeExec:
     def out_len(self, n_in: int) -> int:
         return stage_out_len(self.spec, n_in)
 
+    def apply_v(self, x: jnp.ndarray, n_valid: int, min_out=None):
+        """Valid-prefix seam protocol (see ConvExec.apply_v): consume a
+        raw framing buffer from the previous stage without the prefix
+        slice; window reads for kept outputs stay inside the valid
+        prefix, and the physical surplus only shrinks this stage's
+        right pad.  Falls back to the sliced path for latency-shifted
+        specs (in_latency folds into ring positions there)."""
+        spec = self.spec
+        M = stage_out_len(spec, n_valid)
+        if spec.in_latency or M <= 0:
+            xl = x if x.shape[1] == n_valid else x[:, :n_valid]
+            y = self.apply(xl)
+            return y, y.shape[1]
+        return self._run(x, M), M
+
     def apply(self, x: jnp.ndarray) -> jnp.ndarray:
         spec = self.spec
         C, N = x.shape
@@ -1372,6 +1392,11 @@ class FracWholeExec:
         M = stage_out_len(spec, N + spec.in_latency)
         if M <= 0:
             return jnp.zeros((C, 0), dtype=self.dtype)
+        return self._run(x, M)
+
+    def _run(self, x: jnp.ndarray, M: int) -> jnp.ndarray:
+        spec = self.spec
+        C, N = x.shape
         O, I = spec.out_step, spec.in_step
         n_cyc = -(-M // O)
         x = x.astype(self.dtype)
