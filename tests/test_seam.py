@@ -76,3 +76,23 @@ def test_seam_env_variants_bit_identical(env):
     bands only add DISCARDED outputs."""
     y_seam, y_plain = _run_pair(44100, 96001, 180.15, env)
     assert np.array_equal(y_seam, y_plain)
+
+
+def test_framed_pallas_matches_xla_segments():
+    """ops/pallas_framed.py (opt-in R8BT_FRAMED_PALLAS kernel) must
+    reproduce the XLA segmented framed matmul exactly (interpret mode;
+    on TPU the same jnp.dot/HIGHEST contraction runs on the MXU)."""
+    from r8brain_tpu.ops.pallas_framed import framed_matmul_pallas
+    from r8brain_tpu.ops.stages import _framed_matmul
+
+    rng = np.random.default_rng(0)
+    for (C, nb, hop, L_f, K) in [(3, 7, 128, 300, 256),
+                                 (2, 5, 256, 704, 512),
+                                 (2, 12, 384, 900, 256)]:
+        xp = jnp.asarray(rng.standard_normal((C, (nb + 16) * hop)),
+                         dtype=jnp.float32)
+        T = jnp.asarray(rng.standard_normal((L_f, K)), dtype=jnp.float32)
+        ref = np.asarray(_framed_matmul(xp, T, nb, hop))
+        got = np.asarray(framed_matmul_pallas(xp, T, nb, hop,
+                                              interpret=True))
+        assert np.array_equal(got, ref), (C, nb, hop, L_f, K)
