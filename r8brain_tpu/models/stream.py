@@ -12,15 +12,20 @@ device-side history window:
   state is the last H input samples (H >= the chain's dependency span) —
   the explicit-carry equivalent of the reference's per-stage ring buffers
   (SURVEY.md §5 checkpoint state).
-* Plans whose final stage is a polynomial-mode fractional interpolator
-  (irrational ratios) stream the rational prefix the same way and drive the
-  interpolator with host-computed absolute read positions passed as device
-  arguments each block (the resettable-counter timing of
-  CDSPFracInterpolator.h:907-919 lives on the host), emitting into a
-  fixed-capacity buffer with a valid-count.
-* Plans with a polynomial interpolator mid-chain (intermediate-
-  interpolation branch at an irrational total ratio) are not yet
-  streamable — use oneshot.
+* Plans with a polynomial-mode fractional interpolator stream the rational
+  prefix the same way and drive the interpolator with host-computed
+  absolute read positions passed as device arguments each block (the
+  resettable-counter timing of CDSPFracInterpolator.h:907-919 lives on the
+  host), emitting into a fixed-capacity buffer with a valid-count.  This
+  covers the poly stage FINAL (e.g. 44100->96001) and MID-CHAIN — the
+  intermediate-interpolation branch, conv->poly->conv->hb_up (e.g.
+  44100->352800.3, CDSPResampler.h:286-324) — because every suffix the
+  planner emits after a poly stage is pure integer upsampling (period-1
+  shift-invariant), so the poly stage's varying per-block output counts
+  re-block freely onto the suffix grid (host pending buffer, or the
+  device-resident ring of _SufDeviceReblock).  A non-integer-upsampling
+  suffix would be the one unstreamable shape; the constructor asserts it
+  never occurs.
 
 The streamed output is bit-identical to oneshot over the same total input:
 tests/test_stream.py asserts equality for mixed chunk sizes.

@@ -107,6 +107,7 @@ def _framed_matmul(xp: jnp.ndarray, T: jnp.ndarray, n_blocks: int, hop: int,
         xpp = xp[:, :total]
     if (T_lo is None and precision == jax.lax.Precision.HIGHEST
             and os.environ.get("R8BT_FRAMED_PALLAS") == "1"
+            and xpp.dtype == jnp.float32
             and jax.default_backend() == "tpu"):
         # opt-in VMEM framed-matmul kernel (ops/pallas_framed.py):
         # Mosaic's GEMM measured ~1.28x XLA's batch einsum on the conv
@@ -1035,6 +1036,14 @@ class ConvExec:
         for d0, T, _ in self.toep_chunks:
             n_seg = -(-T.shape[0] // hop)
             need = max(need, d0 + (n_blocks + n_seg) * hop)
+        if self.toep_tiles is not None:
+            # the column-tiled variant's row-windowed operators start at
+            # d0 + r0, so their framing buffers can reach further
+            for d0, per in self.toep_tiles:
+                for c0, r0, Tt, _lo in per:
+                    n_seg = -(-Tt.shape[0] // hop)
+                    need = max(need,
+                               d0 + r0 + (n_blocks + n_seg) * hop)
         return need + self.s_min
 
     def apply(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -1698,18 +1707,22 @@ class FracPolyExec:
 
     def apply_v(self, x: jnp.ndarray, n_valid: int, min_out=None):
         """Valid-prefix seam protocol (see ConvExec.apply_v): consumes a
-        raw framing buffer, absorbs the in_latency slice into the host
-        position table, and returns its own raw group buffer + the
+        raw framing buffer and returns its own raw group buffer + the
         logical output count.  Bit-identical to the sliced path: the
         banded operator places filter taps only at offsets inside the
         valid prefix for kept outputs; surplus columns (closed-form
         positions past the logical end) are discarded by the consumer
-        seam.  ``min_out``: produce at least this many physical columns
-        (a handful of extra groups) so the consumer's framing right-pad
-        — one more full-array HBM copy — vanishes."""
+        seam.  Falls back to the sliced path for latency-shifted specs:
+        folding in_latency into the window starts would read REAL
+        samples from the latency prefix where apply()'s left pad reads
+        zeros (window starts reach -fll at the stream head), exactly as
+        FracWholeExec.apply_v falls back.  ``min_out``: produce at least
+        this many physical columns (a handful of extra groups) so the
+        consumer's framing right-pad — one more full-array HBM copy —
+        vanishes."""
         spec = self.spec
         M = stage_out_len(spec, n_valid)
-        if self.engine != "banded" or M <= 0:
+        if self.engine != "banded" or M <= 0 or spec.in_latency:
             xl = x if x.shape[1] == n_valid else x[:, :n_valid]
             y = self.apply(xl)
             return y, y.shape[1]
@@ -1721,7 +1734,6 @@ class FracPolyExec:
         # positions are closed-form in the absolute output index
         # (CDSPFracInterpolator.h:907-919), so surplus positions are real
         start_np, fti_np, t_np = self.host_positions(Mp)
-        start_np = start_np + spec.in_latency  # latency slice -> offset
         buf = self._apply_banded(x, x.shape[1], Mp, start_np, fti_np,
                                  t_np, raw=True)
         return buf, M
@@ -1731,8 +1743,8 @@ class FracPolyExec:
         right-pad vanish under the seam protocol, or None when a left
         extension makes the pad unavoidable.  Must stay geometry-
         consistent with apply_v/_apply_banded (shared _banded_geom)."""
-        if self.engine != "banded":
-            return None
+        if self.engine != "banded" or self.spec.in_latency:
+            return None  # apply_v falls back to the sliced path there
         M = stage_out_len(self.spec, n_valid)
         if M <= 0:
             return None
@@ -1741,7 +1753,6 @@ class FracPolyExec:
         if min_out is not None:
             n_grp = max(n_grp, -(-min_out // G))
         start_np, _f, _t = self.host_positions(n_grp * G)
-        start_np = start_np + self.spec.in_latency
         _chunks, need_len, pad_l, _W = self._banded_geom(n_grp * G,
                                                          start_np)
         return need_len if pad_l == 0 else None

@@ -112,6 +112,8 @@ def test_sharded_stream_checkpoint_resume():
     ("poly_up_suffix", 44100, 96001),
     ("poly_down", 96001, 44100),
     ("poly_near_1x", 44100, 48001),
+    # mid-chain poly with an hb_up suffix (conv->poly->conv->hb_up)
+    ("poly_hbup_suffix", 44100, 352800.3),
 ], ids=lambda c: c[0] if isinstance(c, tuple) else c)
 @pytest.mark.parametrize("mesh_shape,names", [
     ((2, 4), ("ch", "t")),

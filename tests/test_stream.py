@@ -24,6 +24,10 @@ CONFIGS = [
     ("poly_mid_96001", 44100, 96001, 160.0),
     ("poly_down", 96001, 44100, 140.0),
     ("poly_up_80k", 44100, 80000, 160.0),
+    # mid-chain poly with an hb_up SUFFIX (conv->poly->conv->hb_up, the
+    # intermediate-interpolation branch at ratio > 4): the poly stage's
+    # varying per-block counts re-block onto a multi-stage suffix grid
+    ("poly_mid_hbup", 44100, 352800.3, 140.0),
 ]
 
 
@@ -208,6 +212,7 @@ def test_stream_device_resident():
 @pytest.mark.parametrize("cfg", [
     ("poly_suffix", 44100, 96001),   # poly + conv suffix (device re-block)
     ("poly_last", 96001, 44100),     # poly final stage
+    ("poly_hbup_suffix", 44100, 352800.3),  # conv->poly->conv->hb_up
 ], ids=lambda c: c[0] if isinstance(c, tuple) else str(c))
 def test_stream_device_resident_poly(cfg):
     """Device-resident streaming for polynomial (irrational-ratio) plans
