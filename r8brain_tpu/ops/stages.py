@@ -105,18 +105,13 @@ def _framed_matmul(xp: jnp.ndarray, T: jnp.ndarray, n_blocks: int, hop: int,
         xpp = jnp.pad(xp, ((0, 0), (0, pad)))
     else:
         xpp = xp[:, :total]
-    if (T_lo is None and precision == jax.lax.Precision.HIGHEST
-            and os.environ.get("R8BT_FRAMED_PALLAS") == "1"
-            and xpp.dtype == jnp.float32
-            and jax.default_backend() == "tpu"):
-        # opt-in VMEM framed-matmul kernel (ops/pallas_framed.py):
-        # Mosaic's GEMM measured ~1.28x XLA's batch einsum on the conv
-        # shape (tools/exp_pallas_gemm.py, NEXT.md round-5 #1)
-        from .pallas_framed import framed_matmul_pallas
-        o = framed_matmul_pallas(xpp[:, : (n_blocks + n_seg) * hop],
-                                 T, n_blocks, hop)
-        if o is not None:
-            return o
+    # NOTE (round 5): a VMEM framed-matmul Pallas kernel for this
+    # contraction was built, measured, and DELETED.  The round-4 scout's
+    # "Mosaic GEMM 1.28x XLA" compared variants on a MATERIALIZED frames
+    # tensor; on the formulation the chain actually runs (reshape-view
+    # segmented einsums) XLA measures 24.5 Tflop/s vs Mosaic's best 19.3
+    # on the exact conv shape — tools/exp_framed_kernel.py, evidence in
+    # NEXT.md "Round-5 framed-kernel autopsy".
     chunks = xpp.reshape(C, n_blocks + n_seg, hop)
     if os.environ.get("R8BT_FRAMED_IM2COL") == "1" and T_lo is None:
         # A/B variant: materialize the overlapping frames once (concat of

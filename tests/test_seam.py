@@ -100,59 +100,33 @@ def test_seam_env_variants_class_bounded_vs_default(env):
     assert db <= -120.0, (env, db)
 
 
-@pytest.mark.parametrize("env", [
-    {},
-    {"R8BT_FRAMED_CPB": "3"},
-    {"R8BT_FRAMED_CPB": "2", "R8BT_FRAMED_MODE": "im2col"},
-    {"R8BT_FRAMED_MODE": "im2col"},
-    {"R8BT_FRAMED_MT": "64"},
-], ids=["auto", "cpb3", "cpb2_im2col", "im2col", "mt64"])
-def test_framed_pallas_matches_xla_segments(env):
-    """ops/pallas_framed.py (opt-in R8BT_FRAMED_PALLAS kernel) must
-    reproduce the XLA segmented framed matmul (interpret mode; on TPU
-    the same jnp.dot/HIGHEST contraction runs on the MXU).  Both are
-    f32 reassociations of the same exact sum, so each is pinned against
-    the f64 frames product at the segmented path's own error class
-    (bit-equality between two XLA:CPU executables of different shapes
-    is compilation-dependent — the einsum's reduction blocking changes
-    with thread count, observed at C=7/K=384 — so it is NOT asserted
-    here; chain-level seam bit-identity is asserted in the tests above
-    because there both paths run the identical program)."""
-    from r8brain_tpu.ops.pallas_framed import framed_matmul_pallas
+def test_framed_matmul_matches_f64_oracle():
+    """_framed_matmul (the toeplitz stages' segmented reshape-view
+    contraction) pinned against the exact f64 frames product.  (The
+    opt-in VMEM Pallas twin of this contraction was deleted in round 5:
+    on the formulation the chain actually runs, XLA's segmented einsum
+    measures 24.5 Tflop/s vs Mosaic's best 19.3 on the exact conv shape
+    — tools/exp_framed_kernel.py, NEXT.md round-5 autopsy.)"""
     from r8brain_tpu.ops.stages import _framed_matmul
 
-    old = {k: os.environ.get(k) for k in
-           ("R8BT_FRAMED_CPB", "R8BT_FRAMED_MODE", "R8BT_FRAMED_MT")}
-    os.environ.update(env)
-    try:
-        rng = np.random.default_rng(0)
-        for (C, nb, hop, L_f, K) in [(3, 7, 128, 300, 256),
-                                     (2, 5, 256, 704, 512),
-                                     (7, 12, 384, 900, 256),
-                                     (4, 171, 256, 704, 512)]:
-            xp = jnp.asarray(rng.standard_normal((C, (nb + 16) * hop)),
-                             dtype=jnp.float32)
-            T = jnp.asarray(rng.standard_normal((L_f, K)),
-                            dtype=jnp.float32)
-            ref = np.asarray(_framed_matmul(xp, T, nb, hop))
-            got = np.asarray(framed_matmul_pallas(xp, T, nb, hop,
-                                                  interpret=True))
-            assert got.shape == ref.shape, (env, C, nb, hop, L_f, K)
-            # f64 oracle: exact frames product; the kernel must sit
-            # within the segmented XLA path's own rounding class
-            xf = np.asarray(xp, dtype=np.float64)
-            fr = np.stack([xf[:, b * hop : b * hop + L_f]
-                           for b in range(nb)], axis=1)
-            oracle = fr @ np.asarray(T, dtype=np.float64)
-            tol = max(1e-12, 4 * np.abs(oracle - ref).max())
-            assert np.abs(got - oracle).max() <= tol, \
-                (env, C, nb, hop, L_f, K)
-    finally:
-        for k, v in old.items():
-            if v is None:
-                os.environ.pop(k, None)
-            else:
-                os.environ[k] = v
+    rng = np.random.default_rng(0)
+    for (C, nb, hop, L_f, K) in [(3, 7, 128, 300, 256),
+                                 (2, 5, 256, 704, 512),
+                                 (7, 12, 384, 900, 256),
+                                 (4, 171, 256, 704, 512)]:
+        xp = jnp.asarray(rng.standard_normal((C, (nb + 16) * hop)),
+                         dtype=jnp.float32)
+        T = jnp.asarray(rng.standard_normal((L_f, K)), dtype=jnp.float32)
+        got = np.asarray(_framed_matmul(xp, T, nb, hop))
+        xf = np.asarray(xp, dtype=np.float64)
+        fr = np.stack([xf[:, b * hop : b * hop + L_f]
+                       for b in range(nb)], axis=1)
+        oracle = fr @ np.asarray(T, dtype=np.float64)
+        # f32 contraction of K<=900 ~N(0,1) products: |err| bounded by
+        # ~K*eps*sqrt(K) of the ~sqrt(K) result magnitude
+        tol = 64 * np.finfo(np.float32).eps * np.sqrt(L_f)
+        assert got.shape == oracle.shape, (C, nb, hop, L_f, K)
+        assert np.abs(got - oracle).max() <= tol, (C, nb, hop, L_f, K)
 
 
 def test_fracpoly_apply_v_nonzero_in_latency():

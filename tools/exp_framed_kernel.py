@@ -64,10 +64,16 @@ def main(argv=None):
     M = C * nb  # logical frame rows
 
     # ---- plain aligned GEMMs (scout baseline at two tile sizes) ----
+    # NOTE: operands must be ARGUMENTS, not closure constants — closure
+    # constants are inlined into the program and the remote compiler
+    # rejects the ~500 MB request (HTTP 413)
+    Mp_all = -(-M // (512 * 176 // np.gcd(512, 176))) * \
+        (512 * 176 // np.gcd(512, 176))  # common multiple of both tiles
+    A_big = jax.device_put(jnp.asarray(
+        rng.standard_normal((Mp_all, L_f)), dtype=jnp.float32))
+
     def make_gemm(MT, seg_k=False):
-        Mp = -(-M // MT) * MT
-        A = jax.device_put(jnp.asarray(
-            rng.standard_normal((Mp, L_f)), dtype=jnp.float32))
+        Mp = Mp_all
 
         if seg_k:
             def kern(a_ref, b_ref, o_ref):
@@ -87,7 +93,7 @@ def main(argv=None):
                                    preferred_element_type=jnp.float32)
 
         @jax.jit
-        def f(xp, T):
+        def f(A, T):
             return pl.pallas_call(
                 kern,
                 out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
@@ -96,7 +102,7 @@ def main(argv=None):
                           pl.BlockSpec((L_f, N), lambda i: (0, 0))],
                 out_specs=pl.BlockSpec((MT, N), lambda i: (i, 0)),
             )(A, T)
-        return f
+        return f, A_big
 
     # ---- the real in-chain kernel (env-configured) ----
     def make_framed(env):
@@ -114,43 +120,47 @@ def main(argv=None):
                         os.environ[k] = v
             assert out is not None
             return out
-        return jax.jit(f)
+        return jax.jit(f), xp
 
     @jax.jit
-    def xla_chain(xp, T):
+    def xla_chain_f(xp, T):
         from r8brain_tpu.ops.stages import _framed_matmul
         return _framed_matmul(xp, T, nb, hop)
 
     def chain(f):
         @jax.jit
-        def run(xp, T, n):
+        def run(A, T, n):
             def body(i, c):
-                y = f(xp + c * 1e-30, T)
-                return jnp.sum(y.reshape(-1)[:8])
+                # FULL reduction: a sliced checksum lets XLA slice-
+                # propagate into the dot and skip the bulk of the work
+                # (pallas custom calls can't be sliced into, so the
+                # comparison would be unfair to the kernels)
+                y = f(A + c * 1e-30, T)
+                return jnp.sum(y)
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
         return run
 
     flops = 2.0 * M * L_f * N
     cases = [
-        ("xla_chain", xla_chain),
-        ("gemm_mt512", make_gemm(512)),
-        ("gemm_mt176", make_gemm(176)),
-        ("gemm_seg512", make_gemm(512, seg_k=True)),
-        ("framed_cpb1", make_framed({"R8BT_FRAMED_CPB": "1"})),
-        ("framed_cpb3", make_framed({"R8BT_FRAMED_CPB": "3"})),
+        ("xla_chain", xla_chain_f, xp),
+        ("gemm_mt512", *make_gemm(512)),
+        ("gemm_mt176", *make_gemm(176)),
+        ("gemm_seg512", *make_gemm(512, seg_k=True)),
+        ("framed_cpb1", *make_framed({"R8BT_FRAMED_CPB": "1"})),
+        ("framed_cpb3", *make_framed({"R8BT_FRAMED_CPB": "3"})),
     ]
     out = {}
-    for name, f in cases:
+    for name, f, A in cases:
         run = chain(f)
-        float(run(xp, T, 1))  # compile
+        float(run(A, T, 1))  # compile
         it = args.iters
         best = np.inf
         for _ in range(3):
             t0 = time.perf_counter()
-            float(run(xp, T, it + 1))
+            float(run(A, T, it + 1))
             t_many = time.perf_counter() - t0
             t0 = time.perf_counter()
-            float(run(xp, T, 3 * it + 1))
+            float(run(A, T, 3 * it + 1))
             t_more = time.perf_counter() - t0
             best = min(best, (t_more - t_many) / (2 * it))
         tf = flops / best / 1e12

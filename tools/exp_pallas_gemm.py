@@ -1,6 +1,13 @@
 """Round-5 #1 scouting experiment: Mosaic-vs-XLA GEMM baseline on the
 conv stage's exact shape.
 
+RETRACTED (round 5): this scout's "xla_chain" baseline runs its batch
+einsum on a MATERIALIZED frames tensor — a formulation the chain never
+uses — and so understated XLA.  The chain's real segmented reshape-view
+einsum measures 24.5 Tflop/s vs Mosaic's 19.3 GEMM ceiling on this
+shape; see tools/exp_framed_kernel.py and NEXT.md "Round-5
+framed-kernel autopsy".  Kept for the record.
+
 The poly chain's toeplitz convolvers run at 61-73% of the 6-pass
 f32-HIGHEST MXU roofline under XLA's einsum, and the round-3 Pallas
 mini-Toeplitz kernel reached only ~60% of XLA's own efficiency.  This
