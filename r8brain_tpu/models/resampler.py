@@ -97,6 +97,15 @@ class Resampler:
         if self.execs is None:
             self.execs = [bld(s, self.dtype, precision)
                           for s in self.plan.stages]
+        # df32 inter-stage carry (round 5): under the backend-independent
+        # guarantee configuration, stages hand (hi, lo) pairs across the
+        # seams instead of rounding to f32 at every stage boundary — the
+        # accumulated per-seam store roundings were the guarantee chain's
+        # dominant residual error (differential fuzzer worst -142.4 dB,
+        # NEXT.md round-5 #2).  Only the final output rounds.
+        self.df_carry = (precision == "high" and conv_engine == "ozaki"
+                         and self.dtype == jnp.float32
+                         and os.environ.get("R8BT_DF_CARRY", "1") != "0")
         self._jit_chain = jax.jit(self._chain)
 
     @property
@@ -124,6 +133,33 @@ class Resampler:
         # A host-side backward pass first propagates each consumer's
         # physical framing need so producers overproduce a few surplus
         # blocks/groups instead of the consumer right-padding.
+        if getattr(self, "df_carry", False):
+            # guarantee-chain df32 carry: sliced per-stage applications
+            # threading (hi f32, lo bfloat16) pairs; the first stage
+            # only EMITS (l is None — no zero stream to consume), the
+            # last only CONSUMES (its output is collapsed anyway), so a
+            # two-stage chain pays one extra bf16 output write + one
+            # cheap bf16 pass.  Stages without a carry path collapse
+            # (one rounding — exactly the non-carry seam).  The seam
+            # protocol's raw-buffer savings are skipped here: on the
+            # ~3x-slower guarantee engines they are worth ~2%.
+            h = x
+            l = None
+            n = x.shape[1]
+            for i, e in enumerate(self.execs):
+                last = i == len(self.execs) - 1
+                if hasattr(e, "apply_df"):
+                    h, l, n = e.apply_df(h, l, n, emit_pair=not last)
+                else:
+                    hl = h if h.shape[1] == n else h[:, :n]
+                    if l is not None:
+                        hl = hl + (l if l.shape[1] == n else l[:, :n])
+                    h = e.apply(hl)
+                    l = None
+                    n = h.shape[1]
+            if l is not None:
+                h = h + l
+            return h if h.shape[1] == n else h[:, :n]
         n = x.shape[1]
         n_log = [n]
         for e in self.execs:

@@ -45,7 +45,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["split_operator_host", "split_input", "framed_matmul_ozaki",
+__all__ = ["split_operator_host", "split_operator_host_batched",
+           "split_input", "framed_matmul_ozaki",
            "N_PARTS", "N_DIAG", "K0"]
 
 N_PARTS = 4   # 8-bit slices per operand (32 bits below the block peak)
@@ -86,6 +87,29 @@ def split_operator_host(T64: np.ndarray):
     assert np.array_equal(np.asarray(pb, dtype=np.float64), parts), \
         "operator slice not bf16-exact"
     return pb, s.astype(np.float32)
+
+
+def split_operator_host_batched(T64: np.ndarray, axis: int = 1):
+    """split_operator_host for a BATCHED operator [nloc, W, G]: slices on
+    a per-(m, g)-column power-of-two grid (max over the contraction axis
+    ``axis``), scales folded in.  Returns [N_PARTS, nloc, W, G] bfloat16.
+    Used by the banded poly interpolator's guarantee path — the same
+    exactness lemma applies per (channel, m, g) output cell."""
+    amax = np.abs(T64).max(axis=axis, keepdims=True)
+    s = _pow2_ceil_scale(amax)
+    xs = T64 / s
+    parts = []
+    r = xs
+    for p in range(N_PARTS):
+        step = 2.0 ** (-8 * (p + 1))
+        q = np.round(r / step) * step
+        parts.append(q * s)
+        r = r - q
+    parts = np.stack(parts)
+    pb = parts.astype(jnp.bfloat16)
+    assert np.array_equal(np.asarray(pb, dtype=np.float64), parts), \
+        "operator slice not bf16-exact"
+    return pb
 
 
 def channel_scale(x: jnp.ndarray) -> jnp.ndarray:
@@ -134,8 +158,36 @@ def _exact_chunk(xp_parts, T_parts, e, hop, n_blocks, a0, a1):
     return diags
 
 
+def framed_cheap(x_lo: jnp.ndarray, T0, n_blocks: int, hop: int):
+    """One-pass bf16 contribution of a seam-residual stream: the same
+    segmented reshape-view framing as framed_matmul_ozaki, contracted
+    against the TOP operator slice only (the residual needs ~8 relative
+    bits; error ~2^-32 of the main output).  Used by stages whose main
+    pass runs in a kernel that should not pay a second operand DMA
+    (e.g. the frac stage's dense kernel — framing the residual stream
+    separately measured ~7 ms/iter of duplicated HBM pads/copies)."""
+    C = x_lo.shape[0]
+    L_f = T0.shape[0]
+    n_seg = -(-L_f // hop)
+    total = (n_blocks + n_seg) * hop
+    pad = total - x_lo.shape[1]
+    xl = jnp.pad(x_lo, ((0, 0), (0, pad))) if pad > 0 \
+        else x_lo[:, :total]
+    ch = xl.astype(jnp.bfloat16).reshape(C, n_blocks + n_seg, hop)
+    out = None
+    for e in range(n_seg):
+        w = min(hop, L_f - e * hop)
+        seg = ch[:, e : n_blocks + e, :w]
+        Te = jax.lax.slice(T0, (e * hop, 0), (e * hop + w, T0.shape[1]))
+        o = jnp.einsum("cbl,lk->cbk", seg, Te,
+                       preferred_element_type=jnp.float32)
+        out = o if out is None else out + o
+    return out
+
+
 def framed_matmul_ozaki(xp: jnp.ndarray, T_parts,
-                        n_blocks: int, hop: int) -> jnp.ndarray:
+                        n_blocks: int, hop: int, x_lo=None,
+                        pair: bool = False):
     """out[c, b, k] = sum_l xp[c, b*hop + l] * T[l, k], f32 result with
     backend-independent ~2^-30 relative accuracy.
 
@@ -144,6 +196,19 @@ def framed_matmul_ozaki(xp: jnp.ndarray, T_parts,
     Framing and segment views are identical to _framed_matmul
     (ops/stages.py); each segment is evaluated in K0-deep chunks whose
     f32 accumulation is exact by the grid argument above.
+
+    df32 inter-stage carry (round 5): ``x_lo`` is the previous seam's
+    residual stream (|x_lo| <= 2^-24 |xp| after normalization; carried
+    as BFLOAT16 — its consumer needs only ~8 relative bits to land at
+    ~2^-32 of the output, and halving its bytes halves the carry's HBM
+    cost).  It costs ONE extra bf16 pass per chunk against the TOP
+    operator slice (T_parts[0], column scales already folded in).
+    ``pair=True`` returns the two_sum-normalized (hi f32, lo bfloat16)
+    instead of collapsing — the caller threads the pair to the next
+    stage so the per-seam f32 store rounding never happens.  x_lo and
+    pair compose freely (emit-only for a chain's first stage,
+    consume-only for its last).  The default path (x_lo=None,
+    pair=False) is BIT-IDENTICAL to round 4.
     """
     from .dfloat import df_add, two_sum
 
@@ -151,17 +216,23 @@ def framed_matmul_ozaki(xp: jnp.ndarray, T_parts,
     L_f = T_parts[0].shape[0]
     n_seg = -(-L_f // hop)
     total = (n_blocks + n_seg) * hop
-    pad = total - xp.shape[1]
-    if pad > 0:
-        xpp = jnp.pad(xp, ((0, 0), (0, pad)))
-    else:
-        xpp = xp[:, :total]
+
+    def _padto(a):
+        p = total - a.shape[1]
+        return jnp.pad(a, ((0, 0), (0, p))) if p > 0 else a[:, :total]
+
+    xpp = _padto(xp)
     xparts, x_scale = split_input(xpp)
     xparts = [xparts[p].reshape(C, n_blocks + n_seg, hop)
               for p in range(N_PARTS)]
+    xl_chunks = None
+    if x_lo is not None:
+        xl_chunks = _padto(x_lo).astype(
+            jnp.bfloat16).reshape(C, n_blocks + n_seg, hop)
 
     hi = lo = None          # df32 chain for the d = 0 partials
     rest = None             # plain-f32 sum of d >= 1 partials
+    cheap = None            # x_lo (seam residual) contribution
     for e in range(n_seg):
         w = min(hop, L_f - e * hop)
         for c0 in range(0, w, K0):
@@ -180,7 +251,25 @@ def framed_matmul_ozaki(xp: jnp.ndarray, T_parts,
                     small = diags[d] if small is None else small + diags[d]
             if small is not None:
                 rest = small if rest is None else rest + small
-    y = hi + (lo + (rest if rest is not None else jnp.float32(0)))
-    # exact power-of-two rescale (x per channel; the T column scale is
-    # already folded into the operator slices)
-    return y * x_scale[:, None, :]
+            if xl_chunks is not None:
+                seg = xl_chunks[:, e: n_blocks + e, a0 - e * hop:
+                                a1 - e * hop]
+                Te = jax.lax.slice(T_parts[0], (a0, 0),
+                                   (a1, T_parts[0].shape[1]))
+                o = jnp.einsum("cbl,lk->cbk", seg, Te,
+                               preferred_element_type=jnp.float32)
+                cheap = o if cheap is None else cheap + o
+    small_all = lo + (rest if rest is not None else jnp.float32(0))
+    if x_lo is None and not pair:
+        # round-4 collapse, bit-identical
+        return (hi + small_all) * x_scale[:, None, :]
+    # exact power-of-two rescale commutes into both streams (x_lo was
+    # never normalized, so its contribution enters unscaled)
+    y_hi = hi * x_scale[:, None, :]
+    y_small = small_all * x_scale[:, None, :]
+    if cheap is not None:
+        y_small = y_small + cheap
+    if not pair:
+        return y_hi + y_small
+    H, L = two_sum(y_hi, y_small)
+    return H, L.astype(jnp.bfloat16)

@@ -37,7 +37,8 @@ except Exception:  # pragma: no cover
 from .dfloat import two_sum
 from .ozaki import K0, N_DIAG, N_PARTS
 
-__all__ = ["HAVE_PALLAS", "ozaki_matmul_pallas", "choose_ct"]
+__all__ = ["HAVE_PALLAS", "ozaki_matmul_pallas",
+           "_ozaki_matmul_pallas_var", "ozaki_dense_pallas", "choose_ct"]
 
 
 def choose_ct(C: int, S: int, L_f: int, Kcols: int,
@@ -59,10 +60,32 @@ def choose_ct(C: int, S: int, L_f: int, Kcols: int,
     return 0
 
 
-def _make_kernel(L_f: int, hop: int, Kcols: int, CT: int, S: int):
+def _make_kernel(L_f: int, hop: int, Kcols: int, CT: int, S: int,
+                 has_lo: bool = False, emit_pair: bool = False):
+    """Kernel variants for the df32 inter-stage carry (round 5):
+    ``has_lo`` consumes the previous seam's bfloat16 residual window
+    (one extra bf16 pass per chunk vs the top operator slice);
+    ``emit_pair`` writes the two_sum-normalized (hi f32, lo bfloat16)
+    pair instead of collapsing.  A chain's first stage emits only, its
+    last consumes only — each combination pays just its own cost."""
     n_chunks = -(-L_f // K0)
 
-    def kernel(sx_ref, x_hbm, T_ref, o_ref, xwin, sem):
+    def kernel(sx_ref, x_hbm, *refs):
+        if has_lo:
+            xl_hbm = refs[0]
+            refs = refs[1:]
+        T_ref = refs[0]
+        refs = refs[1:]
+        if emit_pair:
+            o_ref, ol_ref = refs[0], refs[1]
+            refs = refs[2:]
+        else:
+            o_ref = refs[0]
+            refs = refs[1:]
+        if has_lo:
+            xwin, xlwin, sem, seml = refs
+        else:
+            xwin, sem = refs
         c = pl.program_id(0)
         b = pl.program_id(1)
         start = b * hop  # hop is a multiple of 128 (B >= 128, integer down)
@@ -71,6 +94,12 @@ def _make_kernel(L_f: int, hop: int, Kcols: int, CT: int, S: int):
                      pl.ds(pl.multiple_of(start, 128), S)],
             xwin, sem)
         cp.start()
+        if has_lo:
+            cpl = pltpu.make_async_copy(
+                xl_hbm.at[pl.ds(c * CT, CT),
+                          pl.ds(pl.multiple_of(start, 128), S)],
+                xlwin, seml)
+            cpl.start()
         cp.wait()
         sx = sx_ref[:]                     # [CT, 1] power-of-two scale
         xs = xwin[:] * (1.0 / sx)          # exact: pow2 reciprocal+mul
@@ -81,9 +110,13 @@ def _make_kernel(L_f: int, hop: int, Kcols: int, CT: int, S: int):
             q = jnp.round(r * np.float32(1.0 / step)) * step
             parts.append(q.astype(jnp.bfloat16))
             r = r - q                      # exact residual
+        if has_lo:
+            cpl.wait()
+            xlb = xlwin[:]                 # bf16 seam residual window
         hi = jnp.zeros((CT, Kcols), jnp.float32)
         lo = jnp.zeros((CT, Kcols), jnp.float32)
         rest = jnp.zeros((CT, Kcols), jnp.float32)
+        cheap = jnp.zeros((CT, Kcols), jnp.float32) if has_lo else None
         for e in range(n_chunks):
             a0 = e * K0
             a1 = min(L_f, a0 + K0)
@@ -101,15 +134,33 @@ def _make_kernel(L_f: int, hop: int, Kcols: int, CT: int, S: int):
                         hi, lo = s, lo + err
                     else:
                         rest = rest + o
-        o_ref[:] = (hi + (lo + rest)) * sx
+            if has_lo:
+                cheap = cheap + jnp.dot(
+                    xlb[:, a0:a1], T_ref[0, a0:a1, :],
+                    preferred_element_type=jnp.float32)
+        if not emit_pair:
+            if has_lo:
+                # single final rounding: small terms combine first
+                o_ref[:] = hi * sx + ((lo + rest) * sx + cheap)
+            else:
+                o_ref[:] = (hi + (lo + rest)) * sx
+            return
+        small = (lo + rest) * sx
+        if has_lo:
+            small = small + cheap
+        # identical combine to the XLA pair path (ops/ozaki.py)
+        H, L = two_sum(hi * sx, small)
+        o_ref[:] = H
+        ol_ref[:] = L.astype(jnp.bfloat16)
 
     return kernel
 
 
-def _make_dense_kernel(Kpad: int, D: int, G: int, RT: int):
+def _make_dense_kernel(Kpad: int, D: int, G: int, RT: int,
+                       emit_pair: bool = False):
     n_chunks = -(-D // K0)
 
-    def kernel(a_ref, sx_ref, T_ref, o_ref):
+    def kernel(a_ref, sx_ref, T_ref, o_ref, *maybe_ol):
         sx = sx_ref[:]                      # [RT, 1] pow2 row scales
         xs = a_ref[:] * (1.0 / sx)
         parts = []
@@ -139,9 +190,42 @@ def _make_dense_kernel(Kpad: int, D: int, G: int, RT: int):
                         hi, lo = s, lo + err
                     else:
                         rest = rest + o
-        o_ref[:] = (hi + (lo + rest)) * sx
+        if emit_pair:
+            # (hi f32, lo bfloat16) pair for the df32 carry: the caller
+            # folds the seam-residual contribution into lo and collapses
+            # with a SINGLE final rounding
+            H, L = two_sum(hi * sx, (lo + rest) * sx)
+            o_ref[:] = H
+            maybe_ol[0][:] = L.astype(jnp.bfloat16)
+        else:
+            o_ref[:] = (hi + (lo + rest)) * sx
 
     return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("D", "G", "RT", "interpret"))
+def ozaki_dense_pallas_pair(frames: jnp.ndarray, sx: jnp.ndarray,
+                            T_parts: jnp.ndarray, D: int, G: int,
+                            RT: int = 256, interpret: bool = False):
+    """ozaki_dense_pallas emitting the (hi f32, lo bfloat16) pair for
+    the df32 inter-stage carry — same contraction, one extra bf16
+    output write."""
+    R, Kpad = frames.shape
+    kernel = _make_dense_kernel(Kpad, D, G, RT, emit_pair=True)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((R, G), jnp.float32),
+                   jax.ShapeDtypeStruct((R, G), jnp.bfloat16)),
+        grid=(R // RT,),
+        in_specs=[
+            pl.BlockSpec((RT, Kpad), lambda r: (r, 0)),
+            pl.BlockSpec((RT, 1), lambda r: (r, 0)),
+            pl.BlockSpec((N_PARTS, Kpad, G), lambda r: (0, 0, 0)),
+        ],
+        out_specs=(pl.BlockSpec((RT, G), lambda r: (r, 0)),
+                   pl.BlockSpec((RT, G), lambda r: (r, 0))),
+        interpret=interpret,
+    )(frames, sx, T_parts)
 
 
 @functools.partial(jax.jit, static_argnames=("D", "G", "RT", "interpret"))
@@ -172,6 +256,60 @@ def ozaki_dense_pallas(frames: jnp.ndarray, sx: jnp.ndarray,
         out_specs=pl.BlockSpec((RT, G), lambda r: (r, 0)),
         interpret=interpret,
     )(frames, sx, T_parts)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "L_f", "hop", "Kcols", "CT", "emit_pair", "interpret"))
+def _ozaki_matmul_pallas_var(xp, xl, sx, T_parts, L_f: int, hop: int,
+                             Kcols: int, CT: int, emit_pair: bool,
+                             interpret: bool = False):
+    """df32-carry kernel launcher: ``xl`` (bfloat16 seam residual, may
+    be None) is consumed with one extra bf16 pass; ``emit_pair`` writes
+    the (hi f32, lo bfloat16) pair — combine identical to
+    ops/ozaki.framed_matmul_ozaki's pair path."""
+    C, N = xp.shape
+    S = -(-L_f // 128) * 128
+    n_blocks = (N - S) // hop + 1
+    assert n_blocks >= 1
+    has_lo = xl is not None
+    kernel = _make_kernel(L_f, hop, Kcols, CT, S, has_lo=has_lo,
+                          emit_pair=emit_pair)
+    grid = (C // CT, n_blocks)
+    any_space = getattr(pl, "ANY", None) or pltpu.ANY
+    in_specs = [pl.BlockSpec((CT, 1), lambda c, b: (c, 0)),
+                pl.BlockSpec(memory_space=any_space)]   # manual DMA (x)
+    args = [sx, xp]
+    scratch = [pltpu.VMEM((CT, S), jnp.float32)]
+    if has_lo:
+        in_specs.append(pl.BlockSpec(memory_space=any_space))  # x_lo
+        args.append(xl)
+        scratch.append(pltpu.VMEM((CT, S), jnp.bfloat16))
+    in_specs.append(pl.BlockSpec((N_PARTS, L_f, Kcols),
+                                 lambda c, b: (0, 0, 0)))
+    args.append(T_parts)
+    scratch.append(pltpu.SemaphoreType.DMA)
+    if has_lo:
+        scratch.append(pltpu.SemaphoreType.DMA)
+    out_spec = pl.BlockSpec((CT, Kcols), lambda c, b: (c, b))
+    if emit_pair:
+        out_shape = (jax.ShapeDtypeStruct((C, n_blocks * Kcols),
+                                          jnp.float32),
+                     jax.ShapeDtypeStruct((C, n_blocks * Kcols),
+                                          jnp.bfloat16))
+        out_specs = (out_spec, out_spec)
+    else:
+        out_shape = jax.ShapeDtypeStruct((C, n_blocks * Kcols),
+                                         jnp.float32)
+        out_specs = out_spec
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*args)
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -477,7 +477,7 @@ class ConvExec:
         self.B_toep = B
 
     def _apply_ozaki(self, x: jnp.ndarray, M: int,
-                     raw: bool = False) -> jnp.ndarray:
+                     raw: bool = False, x_lo=None, pair: bool = False):
         from .ozaki import channel_scale, framed_matmul_ozaki
         from .pallas_ozaki import HAVE_PALLAS, choose_ct, ozaki_matmul_pallas
 
@@ -495,6 +495,10 @@ class ConvExec:
         pad_r = max(0, need - (N - self.s_min))
         xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (pad_l, pad_r)))
         xp = xp[:, self.s_min + pad_l:]
+        xl = None
+        if x_lo is not None:  # bf16 seam-residual stream: keep its dtype
+            xl = jnp.pad(x_lo, ((0, 0), (pad_l, pad_r)))
+            xl = xl[:, self.s_min + pad_l:]
         S = -(-L_f // 128) * 128
         Kcols = B * up
         use_pallas = (HAVE_PALLAS and hop % 128 == 0
@@ -504,24 +508,78 @@ class ConvExec:
             CT = choose_ct(-(-C // 8) * 8, S, L_f, Kcols)
             if CT:
                 C_pad = -(-C // CT) * CT
-                xpp = xp
-                if xpp.shape[1] < (n_blocks - 1) * hop + S:
-                    xpp = jnp.pad(xpp, ((0, 0), (
-                        0, (n_blocks - 1) * hop + S - xpp.shape[1])))
-                else:
-                    xpp = xpp[:, : (n_blocks - 1) * hop + S]
-                if C_pad != C:
-                    xpp = jnp.pad(xpp, ((0, C_pad - C), (0, 0)))
+                span = (n_blocks - 1) * hop + S
+
+                def _fit(a):
+                    if a.shape[1] < span:
+                        a = jnp.pad(a, ((0, 0), (0, span - a.shape[1])))
+                    else:
+                        a = a[:, :span]
+                    if C_pad != C:
+                        a = jnp.pad(a, ((0, C_pad - C), (0, 0)))
+                    return a
+
+                xpp = _fit(xp)
                 sx = channel_scale(xpp)
+                if pair or xl is not None:
+                    from .pallas_ozaki import _ozaki_matmul_pallas_var
+                    res = _ozaki_matmul_pallas_var(
+                        xpp, None if xl is None else
+                        _fit(xl).astype(jnp.bfloat16),
+                        sx, jnp.asarray(self.oz_parts),
+                        L_f, hop, Kcols, CT, emit_pair=pair)
+                    if pair:
+                        yh, yl = res
+                        if raw:
+                            return yh[:C].astype(self.dtype), yl[:C]
+                        return (yh[:C, :M].astype(self.dtype),
+                                yl[:C, :M])
+                    y = res[:C] if raw else res[:C, :M]
+                    return y.astype(self.dtype)
                 y = ozaki_matmul_pallas(
                     xpp, sx, jnp.asarray(self.oz_parts), L_f, hop,
                     Kcols, CT)
                 y = y[:C] if raw else y[:C, :M]
                 return y.astype(self.dtype)
         out = framed_matmul_ozaki(xp, jnp.asarray(self.oz_parts),
-                                  n_blocks, hop)
+                                  n_blocks, hop, x_lo=xl, pair=pair)
+        if pair:
+            yh, yl = (o.reshape(C, n_blocks * Kcols) for o in out)
+            if raw:
+                return yh.astype(self.dtype), yl
+            return yh[:, :M].astype(self.dtype), yl[:, :M]
         y = out.reshape(C, n_blocks * Kcols)
         return (y if raw else y[:, :M]).astype(self.dtype)
+
+    def apply_df(self, h: jnp.ndarray, l, n_valid=None,
+                 emit_pair: bool = True):
+        """df32 inter-stage carry (round 5): consume the previous seam's
+        (hi, lo-bfloat16) RAW pair (``l`` may be None — a chain's first
+        stage; columns past ``n_valid`` are framing surplus, valid-
+        prefix argument identical to apply_v), emit this stage's raw
+        pair + logical count when ``emit_pair`` (False for a chain's
+        last stage, whose output is collapsed anyway) — the per-seam
+        f32 store roundings (the guarantee chain's dominant residual
+        error, NEXT.md round-5 #2) AND the per-seam slice/re-pad HBM
+        round trips never happen.  Only the ozaki engine carries; other
+        engines collapse (one rounding, exactly the non-carry seam).
+        Returns (h, l, n_out)."""
+        if n_valid is None:
+            n_valid = h.shape[1]
+        M = self.out_len(n_valid)
+        if M <= 0:
+            z = jnp.zeros((h.shape[0], 0), dtype=self.dtype)
+            return z, None, 0
+        if self.engine != "ozaki":
+            hl = h if h.shape[1] == n_valid else h[:, :n_valid]
+            if l is not None:
+                hl = hl + (l if l.shape[1] == n_valid else l[:, :n_valid])
+            y = self.apply(hl)
+            return y, None, y.shape[1]
+        res = self._apply_ozaki(h, M, raw=True, x_lo=l, pair=emit_pair)
+        if emit_pair:
+            return res[0], res[1], M
+        return res, None, M
 
     def _build_toeplitz_sym(self, B: int = 256) -> bool:
         """Centrosymmetry-folded banded-Toeplitz operators: HALF the MXU
@@ -1189,6 +1247,45 @@ class HBUpExec:
     def out_len(self, n_in: int) -> int:
         return stage_out_len(self.spec, n_in)
 
+    def apply_df(self, h: jnp.ndarray, l, n_valid=None,
+                 emit_pair: bool = True):
+        """df32 inter-stage carry: see ConvExec.apply_df.  Pair/block
+        counts come from ``n_valid`` (stream availability); window
+        reads past it land only in outputs past M, which stay inside
+        this stage's own framing surplus (the output IS sliced at the
+        latency offset, so the emitted buffer is exact-length)."""
+        C, N = h.shape
+        if n_valid is None:
+            n_valid = N
+        M = self.out_len(n_valid)
+        if M <= 0:
+            z = jnp.zeros((C, 0), dtype=self.dtype)
+            return z, None, 0
+        if self.engine != "ozaki":
+            hl = h if h.shape[1] == n_valid else h[:, :n_valid]
+            if l is not None:
+                hl = hl + (l if l.shape[1] == n_valid else l[:, :n_valid])
+            y = self.apply(hl)
+            return y, None, y.shape[1]
+        from .ozaki import framed_matmul_ozaki
+        nt, lat = self.nt, self.spec.out_latency
+        B, L_f = self.B, self.L_f
+        n_pairs = n_valid - nt
+        n_blocks = -(-n_pairs // B)
+        need = (n_blocks - 1) * B + L_f - nt
+        pad_r = max(0, need - N)
+        xp = jnp.pad(h.astype(self.dtype), ((0, 0), (nt, pad_r)))
+        xl = None if l is None else jnp.pad(l, ((0, 0), (nt, pad_r)))
+        res = framed_matmul_ozaki(xp, jnp.asarray(self.oz_parts),
+                                  n_blocks, B, x_lo=xl, pair=emit_pair)
+        if emit_pair:
+            yh3, yl3 = res
+            return (yh3.reshape(C, n_blocks * 2 * B)[:, lat : lat + M],
+                    yl3.reshape(C, n_blocks * 2 * B)[:, lat : lat + M],
+                    M)
+        return (res.reshape(C, n_blocks * 2 * B)[:, lat : lat + M],
+                None, M)
+
     def apply(self, x: jnp.ndarray) -> jnp.ndarray:
         C, N = x.shape
         M = self.out_len(N)
@@ -1288,6 +1385,42 @@ class HBDownExec:
 
     def out_len(self, n_in: int) -> int:
         return stage_out_len(self.spec, n_in)
+
+    def apply_df(self, h: jnp.ndarray, l, n_valid=None,
+                 emit_pair: bool = True):
+        """df32 inter-stage carry: see ConvExec.apply_df and
+        HBUpExec.apply_df (kept outputs read at most x[n_valid - 1])."""
+        C, N = h.shape
+        if n_valid is None:
+            n_valid = N
+        M = self.out_len(n_valid)
+        if M <= 0:
+            z = jnp.zeros((C, 0), dtype=self.dtype)
+            return z, None, 0
+        if self.engine != "ozaki":
+            hl = h if h.shape[1] == n_valid else h[:, :n_valid]
+            if l is not None:
+                hl = hl + (l if l.shape[1] == n_valid else l[:, :n_valid])
+            y = self.apply(hl)
+            return y, None, y.shape[1]
+        from .ozaki import framed_matmul_ozaki
+        nt, lat = self.nt, self.spec.out_latency
+        cnt = (n_valid - 2 * nt) // 2 + 1
+        B = self.B
+        n_blocks = -(-cnt // B)
+        hop = 2 * B
+        need = (n_blocks * B - 1) * 2 + 2 * nt
+        pad_r = max(0, need - N)
+        xp = jnp.pad(h.astype(self.dtype), ((0, 0), (2 * nt - 1, pad_r)))
+        xl = None if l is None else \
+            jnp.pad(l, ((0, 0), (2 * nt - 1, pad_r)))
+        res = framed_matmul_ozaki(xp, jnp.asarray(self.oz_parts),
+                                  n_blocks, hop, x_lo=xl, pair=emit_pair)
+        if emit_pair:
+            yh3, yl3 = res
+            return (yh3.reshape(C, n_blocks * B)[:, lat : lat + M],
+                    yl3.reshape(C, n_blocks * B)[:, lat : lat + M], M)
+        return res.reshape(C, n_blocks * B)[:, lat : lat + M], None, M
 
     def apply(self, x: jnp.ndarray) -> jnp.ndarray:
         C, N = x.shape
@@ -1408,6 +1541,118 @@ class FracWholeExec:
         if M <= 0:
             return jnp.zeros((C, 0), dtype=self.dtype)
         return self._run(x, M)
+
+    def apply_df(self, h: jnp.ndarray, l, n_valid=None,
+                 emit_pair: bool = True):
+        """df32 inter-stage carry: see ConvExec.apply_df.  Mirrors
+        apply's in_latency slice (latency-shifted specs slice to
+        n_valid first, as apply_v does) and _run's ozaki framing with
+        raw (valid-prefix) buffers; the seam residual is consumed by
+        ONE segmented reshape-view bf16 einsum (ops/ozaki.framed_cheap)
+        — never framed into a second dense operand (that duplication
+        measured ~7 ms/iter of HBM pads and copies on the flagship
+        chain).  This stage is last in every plan the planner emits, so
+        emit_pair=False is the hot path (the dense VMEM kernel runs on
+        the main stream); emit_pair=True falls back to the XLA pair
+        composition."""
+        spec = self.spec
+        C, N = h.shape
+        if n_valid is None:
+            n_valid = N
+        M = stage_out_len(spec, n_valid)
+        if spec.in_latency:
+            # latency fold into raw buffers is unsound (see apply_v):
+            # slice to the logical prefix first
+            h = h[:, spec.in_latency : n_valid]
+            l = None if l is None else l[:, spec.in_latency : n_valid]
+            N = n_valid - spec.in_latency
+        if M <= 0:
+            z = jnp.zeros((C, 0), dtype=self.dtype)
+            return z, None, 0
+        if self.engine != "ozaki":
+            hl = h if spec.in_latency or h.shape[1] == n_valid \
+                else h[:, :n_valid]
+            if l is not None:
+                ll = l if spec.in_latency or l.shape[1] == n_valid \
+                    else l[:, :n_valid]
+                hl = hl + ll
+            y = self._run(hl, M)
+            return y, None, y.shape[1]
+        from .ozaki import framed_cheap, framed_matmul_ozaki, \
+            split_operator_host
+        if not hasattr(self, "oz_parts"):
+            self.oz_parts, self.oz_scale = \
+                split_operator_host(self._sk64_t)
+        O, I = spec.out_step, spec.in_step
+        n_cyc = -(-M // O)
+        n_seg = -(-self.D // I)
+        need = self.a0 + (n_cyc + n_seg) * I
+        pad_r = max(0, need - N)
+        xp = jnp.pad(h.astype(self.dtype), ((0, 0), (self.pad_l, pad_r)))
+        start = self.a0 + self.pad_l
+        xp32 = xp[:, start:].astype(jnp.float32)
+        xl32 = None
+        if l is not None:
+            xl = jnp.pad(l, ((0, 0), (self.pad_l, pad_r)))
+            xl32 = xl[:, start:]
+        if not emit_pair:
+            if xl32 is None:
+                return self._run(h, M), None, M
+            # residual: one cheap reshape-view bf16 pass; the main pass
+            # must expose its (hi, lo) so the collapse rounds ONCE
+            # (y_run + cheap would round twice — measured -149.5 vs
+            # -151.9 dB on the flagship)
+            from .pallas_ozaki import HAVE_PALLAS, ozaki_dense_pallas_pair
+            use_pallas = (HAVE_PALLAS and jax.default_backend() == "tpu"
+                          and os.environ.get("R8BT_OZAKI_PALLAS", "1")
+                          != "0")
+            if use_pallas:
+                from .ozaki import channel_scale
+                cheap = framed_cheap(
+                    xl32, jnp.asarray(self.oz_parts[0]), n_cyc, I)
+                D = self.D
+                Kpad = -(-D // 128) * 128
+                RT = 256
+                fr = _frames(xp32, n_cyc, I, D).reshape(C * n_cyc, D)
+                if Kpad != D:
+                    fr = jnp.pad(fr, ((0, 0), (0, Kpad - D)))
+                R = fr.shape[0]
+                R_pad = -(-R // RT) * RT
+                if R_pad != R:
+                    fr = jnp.pad(fr, ((0, R_pad - R), (0, 0)))
+                sxc = channel_scale(xp32)
+                sx = jnp.broadcast_to(sxc[:, None, :],
+                                      (C, n_cyc, 1)).reshape(R, 1)
+                if R_pad != R:
+                    sx = jnp.pad(sx, ((0, R_pad - R), (0, 0)),
+                                 constant_values=1.0)
+                if not hasattr(self, "oz_parts_pad"):
+                    pp = np.zeros((self.oz_parts.shape[0], Kpad, O),
+                                  dtype=self.oz_parts.dtype)
+                    pp[:, :D, :] = self.oz_parts
+                    self.oz_parts_pad = pp
+                yh2, yl2 = ozaki_dense_pallas_pair(
+                    fr, sx, jnp.asarray(self.oz_parts_pad), D, O, RT)
+                # NOTE: combining in the kernel's [R, O] row layout
+                # (pad cheap + add there) measured SLOWER (45.4 vs 40.7
+                # ms/iter) — the [C, n_cyc, O] einsum output relayouts
+                # expensively into kernel rows; reshape-then-add stands
+                yh = yh2[:R].reshape(C, n_cyc * O)
+                yl = yl2[:R].reshape(C, n_cyc * O)
+                y = yh + (yl.astype(jnp.float32)
+                          + cheap.reshape(C, n_cyc * O))
+                return y[:, :M].astype(self.dtype), None, M
+            y = framed_matmul_ozaki(xp32, jnp.asarray(self.oz_parts),
+                                    n_cyc, I, x_lo=xl32)
+            return (y.reshape(C, n_cyc * O)[:, :M].astype(self.dtype),
+                    None, M)
+        res = framed_matmul_ozaki(
+            xp32, jnp.asarray(self.oz_parts), n_cyc, I,
+            x_lo=xl32, pair=True)
+        yh3, yl3 = res
+        yh = yh3.reshape(C, n_cyc * O)[:, :M].astype(self.dtype)
+        yl = yl3.reshape(C, n_cyc * O)[:, :M]
+        return yh, yl, M
 
     def _run(self, x: jnp.ndarray, M: int) -> jnp.ndarray:
         spec = self.spec
@@ -1601,6 +1846,91 @@ def banded_contract(xc: jnp.ndarray, R: jnp.ndarray, nloc: int, S: int,
     return o
 
 
+def banded_contract_ozaki(xc: jnp.ndarray, R_parts, nloc: int, S: int,
+                          W: int, x_lo=None, pair: bool = False):
+    """banded_contract in the error-free split-operand form (ops/ozaki.py
+    exactness lemma, applied per (channel, m, g) output cell): slice-pair
+    products are integers < 2^16 on a per-(c, m, g) power-of-two grid and
+    every <= K0-deep f32 accumulation of them is exact on any backend.
+    This is what takes the poly stage past the banded HIGHEST einsum's
+    ~-142 dB product-rounding floor (measured round 5: the f32 products
+    themselves, not the seams, pin the stage class).
+
+    R_parts: [N_PARTS, nloc, W, G] bfloat16 (split_operator_host_batched,
+    scales folded).  x_lo: previous seam's df32 residual stream — one
+    cheap bf16 pass against the top operator slice.  pair=True returns
+    the two_sum-normalized (hi, lo)."""
+    from .dfloat import two_sum
+    from .ozaki import K0, N_DIAG, N_PARTS, split_input
+
+    C = xc.shape[0]
+    n_seg = -(-W // S)
+    total = (nloc + n_seg) * S
+
+    def _padto(a):
+        if a.shape[1] < total:
+            return jnp.pad(a, ((0, 0), (0, total - a.shape[1])))
+        return a[:, :total]
+
+    xparts, x_scale = split_input(_padto(xc))
+    ch = [xparts[p].reshape(C, nloc + n_seg, S) for p in range(N_PARTS)]
+    chl = None
+    if x_lo is not None:
+        chl = _padto(x_lo).astype(
+            jnp.bfloat16).reshape(C, nloc + n_seg, S)
+
+    hi = lo = None
+    rest = None
+    cheap = None
+    for e in range(n_seg):
+        w_e = min(S, W - e * S)
+        for c0 in range(0, w_e, K0):
+            a0 = e * S + c0
+            a1 = min(e * S + w_e, a0 + K0)
+            d0 = None
+            small = None
+            for p in range(N_PARTS):
+                for q in range(N_PARTS):
+                    d = p + q
+                    if d >= N_DIAG:
+                        continue
+                    seg = ch[p][:, e : nloc + e, a0 - e * S : a1 - e * S]
+                    Re = jax.lax.slice(
+                        R_parts[q], (0, a0, 0),
+                        (nloc, a1, R_parts.shape[3]))
+                    o = jnp.einsum("cml,mlg->cmg", seg, Re,
+                                   preferred_element_type=jnp.float32)
+                    if d == 0:
+                        d0 = o
+                    else:
+                        small = o if small is None else small + o
+            if hi is None:
+                hi, lo = d0, jnp.zeros_like(d0)
+            else:
+                s_, err = two_sum(hi, d0)
+                hi, lo = s_, lo + err
+            if small is not None:
+                rest = small if rest is None else rest + small
+            if chl is not None:
+                seg = chl[:, e : nloc + e, a0 - e * S : a1 - e * S]
+                Re = jax.lax.slice(
+                    R_parts[0], (0, a0, 0),
+                    (nloc, a1, R_parts.shape[3]))
+                o = jnp.einsum("cml,mlg->cmg", seg, Re,
+                               preferred_element_type=jnp.float32)
+                cheap = o if cheap is None else cheap + o
+    small_all = lo + (rest if rest is not None else jnp.float32(0))
+    sc = x_scale[:, None, :]
+    y_hi = hi * sc
+    y_small = small_all * sc
+    if cheap is not None:
+        y_small = y_small + cheap
+    if not pair:
+        return y_hi + y_small
+    H, L = two_sum(y_hi, y_small)
+    return H, L.astype(jnp.bfloat16)
+
+
 class FracPolyExec:
     """Polynomial-mode fractional interpolator.
 
@@ -1623,12 +1953,20 @@ class FracPolyExec:
     """
 
     def __init__(self, spec: FracStage, dtype=jnp.float32,
-                 engine: str = "auto", precision: str = "fast"):
+                 engine: str = "auto", precision: str = "fast",
+                 oz_products: bool = False):
         assert not spec.is_whole
         self.spec = spec
         self.dtype = jnp.dtype(dtype)
         self.precision = precision if jnp.dtype(dtype) == jnp.float32 \
             else "fast"
+        #: guarantee-chain mode (frac_engine="ozaki"): the banded
+        #: operator is host-split into bf16 slices and contracted in the
+        #: error-free split-operand form — the HIGHEST einsum's f32
+        #: product rounding (~-142 dB stage floor, measured round 5) is
+        #: replaced by the ozaki exactness lemma.  Falls back to the
+        #: residual-corrected HIGHEST path above the host-literal cap.
+        self.oz_products = bool(oz_products) and self.precision == "high"
         tab = np.asarray(spec.bank.table, dtype=np.float64)  # [rows, fl, 3]
         self.tab64 = tab  # host f64 spline planes (banded flt build)
         self.c0 = tab[:, :, 0].astype(dtype)
@@ -1752,6 +2090,34 @@ class FracPolyExec:
                                                          start_np)
         return need_len if pad_l == 0 else None
 
+    def apply_df(self, h: jnp.ndarray, l, n_valid=None,
+                 emit_pair: bool = True):
+        """df32 inter-stage carry: see ConvExec.apply_df.  The banded
+        engine emits (main contraction, spline-residual + seam-residual
+        corrections) as a two_sum pair on raw group buffers (positions
+        are closed-form, surplus positions are real — the apply_v
+        argument); latency-shifted specs and other engines slice and
+        collapse."""
+        spec = self.spec
+        C, N = h.shape
+        if n_valid is None:
+            n_valid = N
+        M = stage_out_len(spec, n_valid)
+        if self.engine != "banded" or spec.in_latency or M <= 0:
+            hl = h if h.shape[1] == n_valid else h[:, :n_valid]
+            if l is not None:
+                hl = hl + (l if l.shape[1] == n_valid else l[:, :n_valid])
+            y = self.apply(hl)
+            return y, None, y.shape[1]
+        G = self.G
+        Mp = -(-M // G) * G
+        start_np, fti_np, t_np = self.host_positions(Mp)
+        res = self._apply_banded(h, N, Mp, start_np, fti_np, t_np,
+                                 raw=True, x_lo=l, pair=emit_pair)
+        if emit_pair:
+            return res[0], res[1], M
+        return res, None, M
+
     def apply(self, x: jnp.ndarray) -> jnp.ndarray:
         spec = self.spec
         C, N = x.shape
@@ -1820,7 +2186,7 @@ class FracPolyExec:
         return chunks, need_len, pad_l + shift, W
 
     def _apply_banded(self, x, N, M, start_np, fti_np, t_np,
-                      raw: bool = False):
+                      raw: bool = False, x_lo=None, pair: bool = False):
         C = x.shape[0]
         G, S, fl = self.G, self.S, self.fl
         n_grp = -(-M // G)
@@ -1835,6 +2201,9 @@ class FracPolyExec:
 
         pad_r = max(0, need_len - (N + pad_l))
         xp = jnp.pad(x.astype(self.dtype), ((0, 0), (pad_l, pad_r)))
+        xlp = None
+        if x_lo is not None:  # bf16 seam-residual stream: keep dtype
+            xlp = jnp.pad(x_lo, ((0, 0), (pad_l, pad_r)))
         iota_w = jnp.arange(W, dtype=jnp.int32)
         fti2 = fti_np.reshape(n_grp, G)
         t2 = t_np.reshape(n_grp, G)
@@ -1877,6 +2246,27 @@ class FracPolyExec:
                 t_c = jnp.asarray(
                     t2[g0 : g0 + nloc].astype(self.dtype))[..., None]
                 flt = c0t[fti_c] + (c1t[fti_c] + c2t[fti_c] * t_c) * t_c
+            if host_R and self.oz_products:
+                # guarantee path: exact f64 operator, host-split into
+                # bf16 slices, contracted with the ozaki exactness lemma
+                # (banded_contract_ozaki) — no R_lo residual needed, the
+                # slices carry the full f64 operator to 32 bits
+                from .ozaki import split_operator_host_batched
+                m_i = np.arange(nloc)[:, None]
+                g_i = np.arange(G)[None, :]
+                R64 = np.zeros((nloc, W, G), dtype=np.float64)
+                for i in range(fl):
+                    R64[m_i, off + i, g_i] = flt_np[..., i]
+                R_oz = jnp.asarray(split_operator_host_batched(R64))
+                res = banded_contract_ozaki(
+                    xp[:, A:], R_oz, nloc, S, W,
+                    x_lo=None if xlp is None else xlp[:, A:], pair=pair)
+                if pair:
+                    outs.append((res[0].reshape(C, nloc * G),
+                                 res[1].reshape(C, nloc * G)))
+                else:
+                    outs.append((res.reshape(C, nloc * G), None))
+                continue
             if host_R:
                 # build R[m, w, g] on host: each one-hot placement writes
                 # a distinct w per (m, g, i), so scatter-assign is exact
@@ -1916,11 +2306,35 @@ class FracPolyExec:
                 R = jnp.swapaxes(R, 1, 2)  # [nloc, W, G]
             o = banded_contract(xp[:, A:], R, nloc, S, W,
                                 jax.lax.Precision.HIGHEST)
+            small = None
             if host_R and self.precision == "high":
-                o = o + banded_contract(xp[:, A:], R_lo_d, nloc, S, W,
+                small = banded_contract(xp[:, A:], R_lo_d, nloc, S, W,
                                         RESIDUAL_PRECISION)
-            outs.append(o.reshape(C, nloc * G))
-        y = jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
+            if xlp is not None:
+                # df32 seam carry: the previous seam's residual stream
+                # needs only ~8 relative bits (|x_lo| <= 2^-24 |x|) —
+                # one cheap-precision banded pass lands it at ~2^-32
+                c = banded_contract(xlp[:, A:], R, nloc, S, W,
+                                    RESIDUAL_PRECISION)
+                small = c if small is None else small + c
+            if not pair and small is not None:
+                o = o + small
+            outs.append((o.reshape(C, nloc * G),
+                         None if small is None or not pair
+                         else small.reshape(C, nloc * G)))
+        if pair:
+            y = (jnp.concatenate([a for a, _ in outs], axis=1)
+                 if len(outs) > 1 else outs[0][0])
+            ls = [b.astype(jnp.float32) if b is not None
+                  else jnp.zeros_like(a) for a, b in outs]
+            yl = jnp.concatenate(ls, axis=1) if len(ls) > 1 else ls[0]
+            if not raw:
+                y, yl = y[:, :M], yl[:, :M]
+            from .dfloat import two_sum
+            H, L = two_sum(y, yl)
+            return H, L.astype(jnp.bfloat16)
+        y = (jnp.concatenate([a for a, _ in outs], axis=1)
+             if len(outs) > 1 else outs[0][0])
         return y if raw else y[:, :M]
 
 
@@ -1941,5 +2355,6 @@ def build_exec(spec: Stage, dtype=jnp.float32, precision: str = "fast",
                                                      "gather") else "auto"
         return FracPolyExec(spec, dtype, engine=poly_engine,
                             precision=("high" if frac_engine == "ozaki"
-                                       else precision))
+                                       else precision),
+                            oz_products=frac_engine == "ozaki")
     raise TypeError(spec)

@@ -22,9 +22,14 @@ convention; each class bound matches what the repo documents for that
 executor — tests/test_tpu_exec.py, tests/test_ozaki.py):
 
   orc<->nat             < -240  (both f64; plan-blob exactness)
-  orc<->oz,  oz<->nat   < -141  (the 24-bit golden-equality class,
-                                 bench/README.md:9-11 — the guarantee
-                                 engine owns it on ANY backend)
+  orc<->oz,  oz<->nat   < -150  (round 5: the df32 inter-stage
+                                 carry + ozaki-product poly operator
+                                 moved the guarantee class's worst from
+                                 -142.4 to ~-152 dB — the residual
+                                 floor is the single final f32 store
+                                 rounding; the 24-bit -141 class of
+                                 bench/README.md:9-11 now carries ~9 dB
+                                 of margin on ANY backend)
   orc<->f32, f32<->nat  < -115  (the fast f32 class: plain f32
                                  accumulation noise floor; the -141
                                  claims for fast are on-chip
@@ -33,9 +38,13 @@ executor — tests/test_tpu_exec.py, tests/test_ozaki.py):
 
 The per-pair worst dB across all trials is printed as one JSON line so
 SLOWTIER_r<N>.log reports it.  Trial count: R8BT_FUZZ_TRIALS (default
-200).  Attenuation is drawn over [100, 184] — covering every shipped
-preset (109.56 / 136.45 / 180.15); the 206.91/218 extremes are pinned
-separately (tests/test_ozaki.py, tools/chip_accuracy.py grid rows).
+400).  Attenuation is drawn over [49, 218] — the reference's FULL
+supported envelope (CDSPFIRFilter.h:77-110), covering every shipped
+preset (109.56 / 136.45 / 180.15) and both extremes; executor-parity
+classes are atten-independent (unlike the snrtest SNR-vs-atten law,
+which concerns stopband leakage vs the input, parity compares the SAME
+filters computed in different arithmetic), verified by a 40-trial
+widened-span probe before the bounds were set (round 5).
 """
 
 from __future__ import annotations
@@ -84,7 +93,7 @@ def _draw_config(rng: np.random.Generator, trial: int):
     if fam != 3 and rng.random() < 0.45:
         src, dst = dst, src  # downsampling direction
     tb = float(np.round(np.exp(rng.uniform(np.log(0.75), np.log(12.0))), 3))
-    atten = float(np.round(rng.uniform(100.0, 184.0), 2))
+    atten = float(np.round(rng.uniform(49.0, 218.0), 2))
     phase = 1 if rng.random() < 0.15 else 0
     return src, dst, tb, atten, phase
 
@@ -117,10 +126,10 @@ def test_differential_fuzzer_four_executors(tmp_path):
                        capture_output=True, text=True)
     assert r.returncode == 0, r.stderr
 
-    trials = int(os.environ.get("R8BT_FUZZ_TRIALS", "200"))
+    trials = int(os.environ.get("R8BT_FUZZ_TRIALS", "400"))
     rng = np.random.default_rng(20260820)
-    bounds = {"orc_nat": -240.0, "orc_f32": -115.0, "orc_oz": -141.0,
-              "f32_oz": -112.0, "f32_nat": -115.0, "oz_nat": -141.0}
+    bounds = {"orc_nat": -240.0, "orc_f32": -115.0, "orc_oz": -150.0,
+              "f32_oz": -112.0, "f32_nat": -115.0, "oz_nat": -150.0}
     worst = {k: (-np.inf, None) for k in bounds}
 
     for trial in range(trials):

@@ -2,11 +2,12 @@
 
 The 200-trial slow-tier sweep (tests/test_differential_slow.py,
 SLOWTIER_r4.log) found these worst pairs; pinning them here puts a
-cheap CI guard on the thinnest margins — especially the guarantee
-class's poly-downsampling worst at -142.4 dB (1.4 dB over the bound,
-dominated by inter-stage f32 rounding; NEXT.md round-5 #2) and the
-half-band-cascade config whose -140.2 dB failure drove the HB ozaki
-routing fix.
+cheap CI guard on the thinnest margins.  Round 5's df32 inter-stage
+carry + ozaki-product poly operator moved the guarantee class's worst
+(poly-downsampling, was -142.4 dB — dominated by per-seam f32 store
+roundings) to -152.4 dB; the oz bounds here are tightened to the new
+-150 dB class accordingly (the residual floor is the single final f32
+store rounding).
 """
 
 import numpy as np
@@ -20,9 +21,9 @@ from .helpers import lcg_uniform, rms_db
 
 WORST = [
     # (label, src, dst, tb, atten, executor, bound)
-    ("oz_poly_down", 431181.83, 44100.0, 9.625, 139.53, "oz", -141.0),
-    ("oz_hb_down", 80039.87, 44100.0, 3.327, 161.0, "oz", -141.0),
-    ("oz_hb_8x", 352800.0, 44100.0, 3.951, 136.1, "oz", -141.0),
+    ("oz_poly_down", 431181.83, 44100.0, 9.625, 139.53, "oz", -150.0),
+    ("oz_hb_down", 80039.87, 44100.0, 3.327, 161.0, "oz", -150.0),
+    ("oz_hb_8x", 352800.0, 44100.0, 3.951, 136.1, "oz", -150.0),
     ("f32_down_tb08", 44100.0, 33075.0, 0.791, 127.59, "f32", -115.0),
 ]
 

@@ -156,3 +156,45 @@ def test_fracpoly_apply_v_nonzero_in_latency():
     assert m == y_ref.shape[1]
     assert np.array_equal(np.asarray(buf)[:, :m], y_ref)
     assert ex.phys_in_need(n) is None
+
+
+def test_df_carry_raw_vs_sliced_class():
+    """The df32-carry chain threads RAW (hi, lo) buffers between stages
+    (valid-prefix argument as apply_v).  Unlike the f32 seam protocol
+    this is NOT bit-identical to sliced threading: the ozaki engines'
+    per-channel pow2 scale sees the framing surplus, which may shift
+    the split grid by one exponent — harmless to the class (the scale
+    only needs >= max|x|) but visible in ulps.  Pin the raw-vs-sliced
+    agreement at the guarantee class bound instead."""
+    import jax.numpy as jnp
+
+    from r8brain_tpu.models.resampler import Resampler
+
+    for (src, dst, atten) in [(44100, 96001, 180.15),
+                              (352800, 44100, 136.1)]:
+        rs = Resampler(src, dst, 2.0, atten, 0, dtype="float32",
+                       precision="high", fused=False,
+                       conv_engine="ozaki", frac_engine="ozaki")
+        assert rs.df_carry
+        n = 5000
+        x = jnp.asarray(lcg_uniform(3, n).astype(np.float32))[None, :]
+        out_len = int(np.floor(n * dst / src))
+        T = max(n, rs.in_len_for_out(out_len))
+        xp = jnp.pad(x, ((0, 0), (0, T - n)))
+        y_raw = np.asarray(rs._chain(xp), np.float64)[:, :out_len]
+        # sliced threading: cut both streams to the logical length at
+        # every seam (n_valid = buffer length)
+        h, l = xp, None
+        for i, e in enumerate(rs.execs):
+            last = i == len(rs.execs) - 1
+            if l is not None and l.shape[1] != h.shape[1]:
+                l = l[:, :h.shape[1]]
+            h2, l2, m = e.apply_df(h, l, emit_pair=not last)
+            h = h2[:, :m]
+            l = None if l2 is None else l2[:, :m]
+        y_sl = np.asarray(h if l is None else h + l,
+                          np.float64)[:, :out_len]
+        ref = max(1e-12, float(np.abs(y_sl).max()))
+        err = np.abs(y_raw - y_sl).max() / ref
+        db = 20 * np.log10(err) if err else -400.0
+        assert db <= -150.0, (src, dst, db)

@@ -75,12 +75,13 @@ ACCURACY_RUNS = [
                       "fast,high,high_toeplitz,hp_dfft_pallas5,"
                       "hp_dfft_pallas4,ozaki"], 3600),
     ("acc_poly", ["--src", "44100", "--dst", "96001",
-                  "--configs", "fast,high"], 1800),
+                  "--configs", "fast,high,ozaki"], 2400),
     ("acc_dsd", ["--src", "2822400", "--dst", "96000", "--atten", "150",
                  "--seconds", "0.25", "--channels", "2",
-                 "--configs", "fast"], 2400),
+                 "--configs", "fast,ozaki"], 3600),
     # minimum-phase chain (dd-designed kernels, round 3+) on chip
-    ("acc_minphase", ["--phase", "1", "--configs", "fast,high"], 1800),
+    ("acc_minphase", ["--phase", "1",
+                      "--configs", "fast,high,ozaki"], 2400),
     # ---- round-4 grid (VERDICT r3 next #4): every README accuracy
     # claim traces to an on-chip dB cell, including the corners where
     # the MXU residual path is backend-dependent ----
@@ -92,27 +93,33 @@ ACCURACY_RUNS = [
     ("acc_flag_a218", ["--atten", "218",
                        "--configs", "fast,high,ozaki"], 1800),
     # transition-band extremes (CDSPFIRFilter.h:77-90 limits)
-    ("acc_flag_tb05", ["--tb", "0.5", "--configs", "fast,high"], 2400),
-    ("acc_flag_tb45", ["--tb", "45", "--configs", "fast,high"], 1800),
+    ("acc_flag_tb05", ["--tb", "0.5",
+                       "--configs", "fast,high,ozaki"], 3600),
+    ("acc_flag_tb45", ["--tb", "45",
+                       "--configs", "fast,high,ozaki"], 2400),
     # downsampling preset corners
     ("acc_down", ["--src", "96000", "--dst", "44100",
                   "--configs", "fast,high,ozaki"], 1800),
     ("acc_down_a218", ["--src", "96000", "--dst", "44100",
-                       "--atten", "218", "--configs", "fast,high"], 1800),
+                       "--atten", "218",
+                       "--configs", "fast,high,ozaki"], 2400),
     # fractional-bank hot path
     ("acc_48k", ["--src", "44100", "--dst", "48000",
                  "--configs", "fast,high,ozaki"], 1800),
     ("acc_48k_a136", ["--src", "44100", "--dst", "48000",
-                      "--atten", "136.45", "--configs", "fast,high"], 1800),
+                      "--atten", "136.45",
+                      "--configs", "fast,high,ozaki"], 2400),
     # poly corners (the -143.2 dB margin was thin; map atten spread)
     ("acc_poly_a136", ["--src", "44100", "--dst", "96001",
-                       "--atten", "136.45", "--configs", "fast,high"], 1800),
+                       "--atten", "136.45",
+                       "--configs", "fast,high,ozaki"], 2400),
     ("acc_poly_a218", ["--src", "44100", "--dst", "96001",
-                       "--atten", "218", "--configs", "fast,high"], 1800),
+                       "--atten", "218",
+                       "--configs", "fast,high,ozaki"], 2400),
     # PCM -> DSD64 direction (sacd.cpp workload, up path)
     ("acc_to_dsd", ["--src", "44100", "--dst", "2822400", "--atten", "150",
                     "--seconds", "0.05", "--channels", "2",
-                    "--configs", "fast"], 2400),
+                    "--configs", "fast,ozaki"], 3600),
 ]
 
 
@@ -183,6 +190,18 @@ def main(argv=None):
         run_one("stream_latency_curve",
                 [sys.executable, "tools/latency_curve.py"],
                 os.environ.copy(), 3600, out_path)
+        # poly (irrational-ratio) serving artifacts (VERDICT r4 weak #4:
+        # the streaming claims must cover the whole ratio space)
+        env_poly = os.environ.copy()
+        env_poly["R8B_SBENCH_DST"] = "96001"
+        run_one("stream_throughput_poly",
+                [sys.executable, "tools/bench_stream.py"],
+                env_poly, 3600, out_path)
+        env_lpoly = os.environ.copy()
+        env_lpoly["R8B_LBENCH_DST"] = "96001"
+        run_one("stream_latency_curve_poly",
+                [sys.executable, "tools/latency_curve.py"],
+                env_lpoly, 3600, out_path)
     print(f"matrix written to {out_path}", file=sys.stderr)
     return 0
 

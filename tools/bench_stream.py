@@ -47,6 +47,45 @@ def main():
     rs = Resampler(src, dst, 2.0, atten, 0, dtype="float32",
                    precision=precision)
     st = StreamResampler(rs, block_len=block)
+    if st._mode == "poly":
+        # polynomial (irrational-ratio) serving path: device-resident
+        # blocks through process_block_device (prefix jit + tail with
+        # per-block device position args + device re-blocked suffix) —
+        # the any-ratio streaming contract, CDSPResampler.h:559-575
+        L = st.block
+        rng = np.random.default_rng(0)
+        xb = jax.device_put(jnp.asarray(
+            rng.standard_normal((C, L)) * 0.5, jnp.float32))
+
+        def run_blocks(n):
+            y = None
+            for _ in range(n):
+                y = st.process_block_device(xb)
+            if y is not None:
+                jax.block_until_ready(y)
+
+        run_blocks(2)  # compile all per-phase programs
+        t0 = time.perf_counter()
+        run_blocks(4)
+        t_few = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run_blocks(4 + nblk)
+        t_many = time.perf_counter() - t0
+        dt = (t_many - t_few) / nblk
+        mrops = 1e-6 * C * L / dt
+        streams = C * (L / src) / dt
+        print(json.dumps({
+            "metric": f"stream_{int(src)}_to_{int(dst)}"
+                      "_steady_throughput",
+            "value": round(mrops, 1),
+            "unit": "Mrops",
+            "vs_baseline": round(mrops / 38.0, 2),
+            "block_len": L,
+            "mode": "poly_device_resident",
+            "realtime": bool(dt < L / src),
+            "realtime_streams_per_chip": int(streams),
+        }))
+        return
     core = st._core
     assert core is not None and st._mode == "period", "period plans only"
     L, H = core.L, core.H
