@@ -185,6 +185,49 @@ class _PolyTailStream:
             self._jits[key] = jax.jit(self._apply)
         return self._jits[key]
 
+    def _apply_banded_serve(self, n_grp: int, W: int, cap: int, window,
+                            a0, off, fti, t):
+        """Serving-path banded (MXU) tail: one [W] x [W, G] matmul per
+        G-output group against an operator built ON DEVICE from per-
+        block position args — static shapes, so every block reuses ONE
+        compiled program (the per-tap jnp.take form runs at gather
+        speed, ~10x under DMA bandwidth on TPU; measured 16 -> 290+
+        Mrops on the 44100->96001 serving block).  Positions, group
+        offsets and the window start a0 ship as device arguments; the
+        operator's nonzeros land only on valid samples, and the zero-
+        padded window tail is multiplied by operator zeros only."""
+        from ..ops.stages import banded_contract
+        ex = self.exec
+        S, G, fl = ex.S, ex.G, ex.fl
+        c0 = jnp.asarray(ex.c0)[fti]          # [n_grp, G, fl]
+        c1 = jnp.asarray(ex.c1)[fti]
+        c2 = jnp.asarray(ex.c2)[fti]
+        flt = c0 + (c1 + c2 * t[..., None]) * t[..., None]
+        iota_w = jnp.arange(W, dtype=jnp.int32)
+        R = jnp.zeros((n_grp, G, W), dtype=self.dtype)
+        for i in range(fl):
+            R = R + flt[..., i : i + 1] * (
+                iota_w[None, None, :] == (off + i)[..., None])
+        R = jnp.swapaxes(R, 1, 2)             # [n_grp, W, G]
+        n_seg = -(-W // S)
+        need = (n_grp + n_seg) * S
+        C = window.shape[0]
+        PADL = S + fl + 64  # static left margin: a0 = A0 + PADL >= 0
+        wp = jnp.pad(window, ((0, 0), (PADL, need)))
+        xw = jax.lax.dynamic_slice_in_dim(wp, a0, need, axis=1)
+        o = banded_contract(xw, R, n_grp, S, W,
+                            jax.lax.Precision.HIGHEST)
+        return o.reshape(C, n_grp * G)[:, :cap]
+
+    def _jit_banded_for(self, win_len: int, n_grp: int, W: int,
+                        cap: int):
+        key = ("banded", win_len, n_grp, W, cap)
+        if key not in self._jits:
+            import functools
+            self._jits[key] = jax.jit(functools.partial(
+                self._apply_banded_serve, n_grp, W, cap))
+        return self._jits[key]
+
     def process_block_padded(self, z: jnp.ndarray):
         """z: [C, n] fractional-stage input samples -> (y[C, cap] device
         array, count) with valid outputs in y[:, :count] — the fully
@@ -220,6 +263,31 @@ class _PolyTailStream:
         start_rel = (s - self.fll - base).astype(np.int32)
         assert start_rel.min() >= 0, "poly window underrun"
         assert start_rel.max() + self.exec.fl <= window.shape[1]
+        ex = self.exec
+        if ex.engine == "banded":
+            # serving-path MXU form: pad to the group grid, derive the
+            # per-block (a0, group offsets, W) and run the static-shape
+            # banded program with positions as device args
+            G, S, fl = ex.G, ex.S, ex.fl
+            capG = -(-cap // G) * G
+            padG = capG - count
+            sr = np.pad(start_rel, (0, padG), mode="edge")
+            fg = np.pad(fti, (0, padG), mode="edge").reshape(-1, G)
+            tg = np.pad(t, (0, padG), mode="edge").reshape(-1, G)
+            n_grp = capG // G
+            rel = sr.reshape(n_grp, G) \
+                - (np.arange(n_grp, dtype=np.int64)[:, None] * S)
+            A0 = int(rel.min())
+            off = (rel - A0).astype(np.int32)
+            W_need = int(off.max()) + fl
+            W = -(-W_need // 32) * 32
+            PADL = S + fl + 64
+            if W <= 4 * ex.W + 256 and A0 + PADL >= 0:
+                fn = self._jit_banded_for(window.shape[1], n_grp, W, cap)
+                y = fn(window, jnp.int32(A0 + PADL), jnp.asarray(off),
+                       jnp.asarray(fg), jnp.asarray(tg))
+                self.m_out = m_avail
+                return y, count
         # pad to capacity for shape stability (padded columns recompute
         # the last valid output; callers ignore them)
         pad = cap - count

@@ -349,3 +349,24 @@ class TestOneshotMaxChunk:
         y1 = np.asarray(rs.oneshot(x, max_chunk=4096))
         y0 = np.asarray(rs.oneshot(x))
         assert rms_db(y1 - y0) < -300.0
+
+
+def test_stream_f32_poly_matches_oneshot_class():
+    """f32 polynomial-plan streaming vs the whole-array oneshot: the
+    stream tail evaluates the spline filters ON DEVICE from f32 tables
+    + f32 t (the oneshot embeds host-f64-evaluated literals), so the
+    agreement class is the f32 spline-eval rounding (~-131 dB measured,
+    identical for the gather and the round-5 banded MXU serving tail) —
+    pinned here because no f32 poly stream-vs-oneshot test existed
+    before round 5."""
+    rs = Resampler(44100, 96001, 2.0, 180.15, 0, dtype="float32")
+    st = StreamResampler(rs, block_len=4096)
+    n = 20000
+    x = lcg_uniform(21, n).astype(np.float32)[None]
+    out_len = rs.default_out_len(n)
+    ref = np.asarray(rs.oneshot(x, out_len), dtype=np.float64)
+    outs = [st.process(x[:, i : i + 3001]) for i in range(0, n, 3001)]
+    outs.append(st.flush(out_len))
+    y = np.concatenate(outs, axis=1)
+    assert y.shape == ref.shape
+    assert rms_db(y - ref) - rms_db(ref) < -125.0

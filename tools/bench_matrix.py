@@ -62,6 +62,15 @@ BENCH_RUNS = [
                          "R8B_BENCH_FUSED": "0",
                          "R8B_BENCH_ENGINE": "ozaki",
                          "R8B_BENCH_METRIC": "ozaki_guarantee"}, 2400),
+    # round 5: the df32 inter-stage carry is default-on for the
+    # guarantee config (-152 dB class); this row records the reverted
+    # (per-seam-rounding, -142 dB-worst class) speed for comparison
+    ("ozaki_guarantee_nocarry", {"R8B_BENCH_PRECISION": "high",
+                                 "R8B_BENCH_FUSED": "0",
+                                 "R8B_BENCH_ENGINE": "ozaki",
+                                 "R8BT_DF_CARRY": "0",
+                                 "R8B_BENCH_METRIC":
+                                     "ozaki_guarantee_nocarry"}, 2400),
     ("preset_16", {"R8B_BENCH_ATTEN": "136.45"}, 1800),
     ("preset_16IR", {"R8B_BENCH_ATTEN": "109.56"}, 1800),
     ("preset_def", {"R8B_BENCH_ATTEN": "206.91"}, 1800),
