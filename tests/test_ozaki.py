@@ -186,8 +186,8 @@ def test_ozaki_chain_meets_golden_class(cfg):
 
 
 def test_pallas_df_kernels_match_pair_class():
-    """The df32-carry kernel variants (ozaki_matmul_pallas_df,
-    ozaki_dense_pallas_df) compute the XLA pair path's result to the
+    """The df32-carry kernel variants (_ozaki_matmul_pallas_var,
+    ozaki_dense_pallas_pair) compute the XLA pair path's result to the
     engine class (like the plain kernels, the d>=2 `rest` and cheap
     accumulations associate differently — bound, not bit-parity), and
     the collapsed pair meets the class vs the exact f64 product

@@ -3,18 +3,20 @@ the scout's 1.28x GEMM headroom?
 
 tools/exp_pallas_gemm.py measured a plain aligned Mosaic GEMM at 19.9
 Tflop/s vs 15.6 for XLA's chain-shaped batch einsum on the conv shape,
-yet ops/pallas_framed.py measures SLOWER than XLA in-chain (round-4
-cpb=1: -18%; round-5 channel-folded cpb=3: -35%).  The kernel differs
-from the scout in (a) the M tile size, (b) the two-view window load +
-in-kernel concat, (c) the sublane-SHIFTED segment slices (Mosaic
-relayouts), (d) the segmented K.  This experiment measures each delta
-standalone on the exact conv shape so the next kernel iteration is
-aimed at the real cost:
+yet the framed kernel (deleted ops/pallas_framed.py) measured SLOWER
+than XLA in-chain (round-4 cpb=1: -18%; round-5 channel-folded cpb=3:
+-35%).  This experiment measured each delta standalone on the exact
+conv shape and settled it (chip, round 5): the chain's REAL segmented
+reshape-view einsum runs 24.5 Tflop/s vs Mosaic's 19.3 GEMM ceiling
+(insensitive to M tile and K segmentation) — the round-4 scout had
+compared materialized-frames formulations the chain never uses, so the
+kernel was deleted and its cases removed here (full table in NEXT.md
+"Round-5 framed-kernel autopsy"):
 
-  gemm_mt512 / gemm_mt176   plain aligned GEMM at both tile sizes
+  gemm_mt512 / gemm_mt176   plain aligned Mosaic GEMM at both M tiles
   gemm_seg512               aligned GEMM, K segmented into hop chunks
-  framed_cpb1 / framed_cpb3 the real ops/pallas_framed.py kernel
-  xla_chain                 the chain-shaped XLA batch einsum baseline
+  xla_chain                 the chain's real segmented reshape-view
+                            einsum (ops/stages._framed_matmul)
 
 Usage: python tools/exp_framed_kernel.py [--iters 20]
 """
@@ -22,10 +24,10 @@ Usage: python tools/exp_framed_kernel.py [--iters 20]
 from __future__ import annotations
 
 import argparse
-import os
+
 import sys
 import time
-from functools import partial
+
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -104,24 +106,6 @@ def main(argv=None):
             )(A, T)
         return f, A_big
 
-    # ---- the real in-chain kernel (env-configured) ----
-    def make_framed(env):
-        def f(xp, T):
-            from r8brain_tpu.ops.pallas_framed import framed_matmul_pallas
-            old = {k: os.environ.get(k) for k in env}
-            os.environ.update(env)
-            try:
-                out = framed_matmul_pallas(xp, T, nb, hop)
-            finally:
-                for k, v in old.items():
-                    if v is None:
-                        os.environ.pop(k, None)
-                    else:
-                        os.environ[k] = v
-            assert out is not None
-            return out
-        return jax.jit(f), xp
-
     @jax.jit
     def xla_chain_f(xp, T):
         from r8brain_tpu.ops.stages import _framed_matmul
@@ -146,8 +130,6 @@ def main(argv=None):
         ("gemm_mt512", *make_gemm(512)),
         ("gemm_mt176", *make_gemm(176)),
         ("gemm_seg512", *make_gemm(512, seg_k=True)),
-        ("framed_cpb1", *make_framed({"R8BT_FRAMED_CPB": "1"})),
-        ("framed_cpb3", *make_framed({"R8BT_FRAMED_CPB": "3"})),
     ]
     out = {}
     for name, f, A in cases:
