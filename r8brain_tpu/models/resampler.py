@@ -134,15 +134,18 @@ class Resampler:
         # physical framing need so producers overproduce a few surplus
         # blocks/groups instead of the consumer right-padding.
         if getattr(self, "df_carry", False):
-            # guarantee-chain df32 carry: sliced per-stage applications
-            # threading (hi f32, lo bfloat16) pairs; the first stage
+            # guarantee-chain df32 carry: stages thread RAW (unsliced)
+            # (hi f32, lo bfloat16) pair buffers plus the logical count
+            # n — the same valid-prefix argument as apply_v, so neither
+            # the per-seam f32 store rounding NOR the per-seam
+            # slice/re-pad HBM round trips happen.  The first stage
             # only EMITS (l is None — no zero stream to consume), the
             # last only CONSUMES (its output is collapsed anyway), so a
             # two-stage chain pays one extra bf16 output write + one
             # cheap bf16 pass.  Stages without a carry path collapse
-            # (one rounding — exactly the non-carry seam).  The seam
-            # protocol's raw-buffer savings are skipped here: on the
-            # ~3x-slower guarantee engines they are worth ~2%.
+            # via _df_collapse_input (one rounding — exactly the
+            # non-carry seam).
+            from ..ops.stages import _df_collapse_input
             h = x
             l = None
             n = x.shape[1]
@@ -151,10 +154,7 @@ class Resampler:
                 if hasattr(e, "apply_df"):
                     h, l, n = e.apply_df(h, l, n, emit_pair=not last)
                 else:
-                    hl = h if h.shape[1] == n else h[:, :n]
-                    if l is not None:
-                        hl = hl + (l if l.shape[1] == n else l[:, :n])
-                    h = e.apply(hl)
+                    h = e.apply(_df_collapse_input(h, l, n))
                     l = None
                     n = h.shape[1]
             if l is not None:

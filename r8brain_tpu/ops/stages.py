@@ -78,6 +78,18 @@ def _frames(xp: jnp.ndarray, n_blocks: int, hop: int, L_f: int
 RESIDUAL_PRECISION = jax.lax.Precision.DEFAULT
 
 
+def _df_collapse_input(h, l, n_valid):
+    """Collapse a df32 seam pair to a single sliced input for stages
+    (or engines) without a carry path: slice both streams to the
+    logical prefix and add once — exactly the non-carry seam rounding.
+    Shared by every apply_df fallback (round-5 review: six hand-
+    maintained copies had already drifted)."""
+    hl = h if h.shape[1] == n_valid else h[:, :n_valid]
+    if l is not None:
+        hl = hl + (l if l.shape[1] == n_valid else l[:, :n_valid])
+    return hl
+
+
 def _framed_matmul(xp: jnp.ndarray, T: jnp.ndarray, n_blocks: int, hop: int,
                    precision=None, T_lo=None) -> jnp.ndarray:
     """out[c, b, k] = sum_l frames[c, b, l] * T[l, k] with
@@ -571,10 +583,7 @@ class ConvExec:
             z = jnp.zeros((h.shape[0], 0), dtype=self.dtype)
             return z, None, 0
         if self.engine != "ozaki":
-            hl = h if h.shape[1] == n_valid else h[:, :n_valid]
-            if l is not None:
-                hl = hl + (l if l.shape[1] == n_valid else l[:, :n_valid])
-            y = self.apply(hl)
+            y = self.apply(_df_collapse_input(h, l, n_valid))
             return y, None, y.shape[1]
         res = self._apply_ozaki(h, M, raw=True, x_lo=l, pair=emit_pair)
         if emit_pair:
@@ -1262,10 +1271,7 @@ class HBUpExec:
             z = jnp.zeros((C, 0), dtype=self.dtype)
             return z, None, 0
         if self.engine != "ozaki":
-            hl = h if h.shape[1] == n_valid else h[:, :n_valid]
-            if l is not None:
-                hl = hl + (l if l.shape[1] == n_valid else l[:, :n_valid])
-            y = self.apply(hl)
+            y = self.apply(_df_collapse_input(h, l, n_valid))
             return y, None, y.shape[1]
         from .ozaki import framed_matmul_ozaki
         nt, lat = self.nt, self.spec.out_latency
@@ -1398,10 +1404,7 @@ class HBDownExec:
             z = jnp.zeros((C, 0), dtype=self.dtype)
             return z, None, 0
         if self.engine != "ozaki":
-            hl = h if h.shape[1] == n_valid else h[:, :n_valid]
-            if l is not None:
-                hl = hl + (l if l.shape[1] == n_valid else l[:, :n_valid])
-            y = self.apply(hl)
+            y = self.apply(_df_collapse_input(h, l, n_valid))
             return y, None, y.shape[1]
         from .ozaki import framed_matmul_ozaki
         nt, lat = self.nt, self.spec.out_latency
@@ -1570,13 +1573,10 @@ class FracWholeExec:
             z = jnp.zeros((C, 0), dtype=self.dtype)
             return z, None, 0
         if self.engine != "ozaki":
-            hl = h if spec.in_latency or h.shape[1] == n_valid \
-                else h[:, :n_valid]
-            if l is not None:
-                ll = l if spec.in_latency or l.shape[1] == n_valid \
-                    else l[:, :n_valid]
-                hl = hl + ll
-            y = self._run(hl, M)
+            # after an in_latency slice, h/l are already the logical
+            # prefix; otherwise slice to n_valid
+            nv = h.shape[1] if spec.in_latency else n_valid
+            y = self._run(_df_collapse_input(h, l, nv), M)
             return y, None, y.shape[1]
         from .ozaki import framed_cheap, framed_matmul_ozaki, \
             split_operator_host
@@ -1607,32 +1607,11 @@ class FracWholeExec:
                           and os.environ.get("R8BT_OZAKI_PALLAS", "1")
                           != "0")
             if use_pallas:
-                from .ozaki import channel_scale
                 cheap = framed_cheap(
                     xl32, jnp.asarray(self.oz_parts[0]), n_cyc, I)
-                D = self.D
-                Kpad = -(-D // 128) * 128
-                RT = 256
-                fr = _frames(xp32, n_cyc, I, D).reshape(C * n_cyc, D)
-                if Kpad != D:
-                    fr = jnp.pad(fr, ((0, 0), (0, Kpad - D)))
-                R = fr.shape[0]
-                R_pad = -(-R // RT) * RT
-                if R_pad != R:
-                    fr = jnp.pad(fr, ((0, R_pad - R), (0, 0)))
-                sxc = channel_scale(xp32)
-                sx = jnp.broadcast_to(sxc[:, None, :],
-                                      (C, n_cyc, 1)).reshape(R, 1)
-                if R_pad != R:
-                    sx = jnp.pad(sx, ((0, R_pad - R), (0, 0)),
-                                 constant_values=1.0)
-                if not hasattr(self, "oz_parts_pad"):
-                    pp = np.zeros((self.oz_parts.shape[0], Kpad, O),
-                                  dtype=self.oz_parts.dtype)
-                    pp[:, :D, :] = self.oz_parts
-                    self.oz_parts_pad = pp
+                fr, sx, pp, R, RT = self._oz_dense_operands(xp32, n_cyc)
                 yh2, yl2 = ozaki_dense_pallas_pair(
-                    fr, sx, jnp.asarray(self.oz_parts_pad), D, O, RT)
+                    fr, sx, pp, self.D, O, RT)
                 # NOTE: combining in the kernel's [R, O] row layout
                 # (pad cheap + add there) measured SLOWER (45.4 vs 40.7
                 # ms/iter) — the [C, n_cyc, O] einsum output relayouts
@@ -1653,6 +1632,42 @@ class FracWholeExec:
         yh = yh3.reshape(C, n_cyc * O)[:, :M].astype(self.dtype)
         yl = yl3.reshape(C, n_cyc * O)[:, :M]
         return yh, yl, M
+
+    def _oz_dense_operands(self, xp32, n_cyc: int):
+        """Shared framing for the dense ozaki VMEM kernel (plain and
+        pair callers — round-5 review: two hand-maintained copies):
+        im2col frames padded to the kernel grid, per-row pow2 scales
+        broadcast from per-channel, and the zero-row-padded operator
+        slices (cached).  Returns (fr, sx, parts_pad, R, RT)."""
+        from .ozaki import channel_scale
+        C = xp32.shape[0]
+        D, O = self.D, self.spec.out_step
+        Kpad = -(-D // 128) * 128
+        RT = 256
+        fr = _frames(xp32, n_cyc, I := self.spec.in_step, D).reshape(
+            C * n_cyc, D)
+        if Kpad != D:
+            fr = jnp.pad(fr, ((0, 0), (0, Kpad - D)))
+        R = fr.shape[0]
+        R_pad = -(-R // RT) * RT
+        if R_pad != R:
+            fr = jnp.pad(fr, ((0, R_pad - R), (0, 0)))
+        # per-CHANNEL scales broadcast to frame rows: one reduce over
+        # the input instead of the (D/I-times larger) framed tensor;
+        # rows of a channel share the grid, exactness and the
+        # crest-level quantization class are unchanged
+        sxc = channel_scale(xp32)
+        sx = jnp.broadcast_to(sxc[:, None, :],
+                              (C, n_cyc, 1)).reshape(R, 1)
+        if R_pad != R:
+            sx = jnp.pad(sx, ((0, R_pad - R), (0, 0)),
+                         constant_values=1.0)
+        if not hasattr(self, "oz_parts_pad"):
+            pp = np.zeros((self.oz_parts.shape[0], Kpad, O),
+                          dtype=self.oz_parts.dtype)
+            pp[:, :D, :] = self.oz_parts
+            self.oz_parts_pad = pp
+        return fr, sx, jnp.asarray(self.oz_parts_pad), R, RT
 
     def _run(self, x: jnp.ndarray, M: int) -> jnp.ndarray:
         spec = self.spec
@@ -1707,35 +1722,8 @@ class FracWholeExec:
                 # are materialized XLA-side (reshape-view concat, one
                 # cheap pass over ~D/I x the input bytes) and the dense
                 # VMEM kernel runs over the framed rows
-                D = self.D
-                Kpad = -(-D // 128) * 128
-                fr = _frames(xp32, n_cyc, I, D)     # [C, n_cyc, D]
-                fr = fr.reshape(C * n_cyc, D)
-                if Kpad != D:
-                    fr = jnp.pad(fr, ((0, 0), (0, Kpad - D)))
-                RT = 256
-                R = fr.shape[0]
-                R_pad = -(-R // RT) * RT
-                if R_pad != R:
-                    fr = jnp.pad(fr, ((0, R_pad - R), (0, 0)))
-                # per-CHANNEL scales broadcast to frame rows: one reduce
-                # over the input instead of the (D/I-times larger) framed
-                # tensor; rows of a channel share the grid, exactness and
-                # the crest-level quantization class are unchanged
-                sxc = channel_scale(xp32)               # [C, 1]
-                sx = jnp.broadcast_to(sxc[:, None, :],
-                                      (C, n_cyc, 1)).reshape(R, 1)
-                if R_pad != R:
-                    sx = jnp.pad(sx, ((0, R_pad - R), (0, 0)),
-                                 constant_values=1.0)
-                if not hasattr(self, "oz_parts_pad"):
-                    pp = np.zeros((self.oz_parts.shape[0], Kpad, O),
-                                  dtype=self.oz_parts.dtype)
-                    pp[:, :D, :] = self.oz_parts
-                    self.oz_parts_pad = pp
-                yk = ozaki_dense_pallas(fr, sx,
-                                        jnp.asarray(self.oz_parts_pad),
-                                        D, O, RT)
+                fr, sx, pp, R, RT = self._oz_dense_operands(xp32, n_cyc)
+                yk = ozaki_dense_pallas(fr, sx, pp, self.D, O, RT)
                 y = yk[:R].reshape(C, n_cyc * O)
                 return y[:, :M].astype(self.dtype)
             out = framed_matmul_ozaki(xp32, jnp.asarray(self.oz_parts),
@@ -2104,10 +2092,7 @@ class FracPolyExec:
             n_valid = N
         M = stage_out_len(spec, n_valid)
         if self.engine != "banded" or spec.in_latency or M <= 0:
-            hl = h if h.shape[1] == n_valid else h[:, :n_valid]
-            if l is not None:
-                hl = hl + (l if l.shape[1] == n_valid else l[:, :n_valid])
-            y = self.apply(hl)
+            y = self.apply(_df_collapse_input(h, l, n_valid))
             return y, None, y.shape[1]
         G = self.G
         Mp = -(-M // G) * G
@@ -2246,18 +2231,43 @@ class FracPolyExec:
                 t_c = jnp.asarray(
                     t2[g0 : g0 + nloc].astype(self.dtype))[..., None]
                 flt = c0t[fti_c] + (c1t[fti_c] + c2t[fti_c] * t_c) * t_c
-            if host_R and self.oz_products:
-                # guarantee path: exact f64 operator, host-split into
-                # bf16 slices, contracted with the ozaki exactness lemma
-                # (banded_contract_ozaki) — no R_lo residual needed, the
-                # slices carry the full f64 operator to 32 bits
-                from .ozaki import split_operator_host_batched
-                m_i = np.arange(nloc)[:, None]
-                g_i = np.arange(G)[None, :]
-                R64 = np.zeros((nloc, W, G), dtype=np.float64)
-                for i in range(fl):
-                    R64[m_i, off + i, g_i] = flt_np[..., i]
-                R_oz = jnp.asarray(split_operator_host_batched(R64))
+            if host_flt and self.oz_products:
+                # guarantee path: exact f64 operator values host-split
+                # into bf16 slices, contracted with the ozaki exactness
+                # lemma (banded_contract_ozaki) — no R_lo residual
+                # needed, the slices carry the full f64 operator to 32
+                # bits.  Below the host_R cap the whole split operator
+                # embeds as literals; above it (real audio lengths —
+                # the cap is ~0.6 s of poly output per call) only the
+                # [Mp, fl] flt SLICES embed and each R_q is one-hot
+                # placed ON DEVICE (exact: bf16-grid values times 0/1
+                # masks, disjoint adds), so the -150 dB class holds up
+                # to the flt cap (~10 s per call) instead of silently
+                # collapsing to the uncorrected f32 form (round-5
+                # review finding: -140.8 dB above the old gate).
+                from .ozaki import (N_PARTS, split_operator_host_batched)
+                if host_R:
+                    m_i = np.arange(nloc)[:, None]
+                    g_i = np.arange(G)[None, :]
+                    R64 = np.zeros((nloc, W, G), dtype=np.float64)
+                    for i in range(fl):
+                        R64[m_i, off + i, g_i] = flt_np[..., i]
+                    R_oz = jnp.asarray(split_operator_host_batched(R64))
+                else:
+                    fps = jnp.asarray(
+                        split_operator_host_batched(flt_np, axis=-1))
+                    off_d = jnp.asarray(off)
+                    parts = []
+                    for q in range(N_PARTS):
+                        fq = fps[q].astype(jnp.float32)
+                        Rq = jnp.zeros((nloc, G, W), jnp.float32)
+                        for i in range(fl):
+                            Rq = Rq + fq[..., i : i + 1] * (
+                                iota_w[None, None, :]
+                                == (off_d + i)[..., None])
+                        parts.append(jnp.swapaxes(Rq, 1, 2)
+                                     .astype(jnp.bfloat16))
+                    R_oz = jnp.stack(parts)
                 res = banded_contract_ozaki(
                     xp[:, A:], R_oz, nloc, S, W,
                     x_lo=None if xlp is None else xlp[:, A:], pair=pair)
@@ -2267,6 +2277,18 @@ class FracPolyExec:
                 else:
                     outs.append((res.reshape(C, nloc * G), None))
                 continue
+            if self.oz_products and not host_flt:
+                # beyond the flt literal cap (~10 s of poly output per
+                # call) the guarantee products fall back to the
+                # residual-corrected HIGHEST form below — make the
+                # class change loud instead of silent
+                from ..utils.trace import trace
+                trace("poly_oz_flt_cap", Mp=Mp, fl=fl,
+                      detail="guarantee products above the flt literal "
+                             "cap: falling back to residual-corrected "
+                             "HIGHEST (~-143 dB class); split long "
+                             "signals (oneshot max_chunk) to keep the "
+                             "-150 class")
             if host_R:
                 # build R[m, w, g] on host: each one-hot placement writes
                 # a distinct w per (m, g, i), so scatter-assign is exact
@@ -2304,10 +2326,29 @@ class FracPolyExec:
                     R = R + flt[..., i : i + 1] * (
                         iota_w[None, None, :] == (off_d + i)[..., None])
                 R = jnp.swapaxes(R, 1, 2)  # [nloc, W, G]
+                R_lo_d = None
+                if host_flt and self.precision == "high":
+                    # spline-residual correction above the host_R cap
+                    # (round-5 review finding: without it the high
+                    # class dropped to -140.8 dB past ~0.6 s of poly
+                    # output per call): the f64-f32 residual of the flt
+                    # literal is one-hot placed on device and applied
+                    # as the same cheap RESIDUAL pass as the host_R
+                    # branch
+                    flt_lo = jnp.asarray(
+                        (flt_np - flt_np.astype(np.float32)
+                         ).astype(np.float32))
+                    Rl = jnp.zeros((nloc, G, W), dtype=self.dtype)
+                    for i in range(fl):
+                        Rl = Rl + flt_lo[..., i : i + 1] * (
+                            iota_w[None, None, :]
+                            == (off_d + i)[..., None])
+                    R_lo_d = jnp.swapaxes(Rl, 1, 2)
             o = banded_contract(xp[:, A:], R, nloc, S, W,
                                 jax.lax.Precision.HIGHEST)
             small = None
-            if host_R and self.precision == "high":
+            if self.precision == "high" and (
+                    host_R or (host_flt and R_lo_d is not None)):
                 small = banded_contract(xp[:, A:], R_lo_d, nloc, S, W,
                                         RESIDUAL_PRECISION)
             if xlp is not None:

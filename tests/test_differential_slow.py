@@ -45,6 +45,14 @@ classes are atten-independent (unlike the snrtest SNR-vs-atten law,
 which concerns stopband leakage vs the input, parity compares the SAME
 filters computed in different arithmetic), verified by a 40-trial
 widened-span probe before the bounds were set (round 5).
+
+Bound margins: the guarantee pairs' -150 bound sits 1.0 dB under the
+recorded 400-trial worst (-151.0, SLOWTIER_r5.log); that margin is
+thin but the error floor is the single final f32 store rounding, whose
+distribution across configs is tight (-151.0..-152.4 measured).  Trial
+lengths stay in [2500, 6000) — the above-host-literal-cap regime for
+the poly operator is pinned separately
+(tests/test_ozaki.py::test_poly_oz_products_above_host_literal_cap).
 """
 
 from __future__ import annotations

@@ -250,8 +250,9 @@ def test_pallas_df_kernels_match_pair_class():
     # the caller folds the residual in via the cheap pass: emulate with
     # the exact residual product (the cheap pass itself is pinned by
     # the chain-level test below)
+    # kernel pair (main-stream product) + the exact residual product
+    # the caller's cheap pass contributes
     y2 = (np.asarray(dh, np.float64) + np.asarray(dl, np.float64)
-          + np.asarray(frp, np.float64)[:, :D] @ T2 * 0
           + np.asarray(flp, np.float64)[:, :D] @ T2)
     v2 = (np.asarray(frp, np.float64)[:, :D]
           + np.asarray(flp, np.float64)[:, :D])
@@ -294,3 +295,47 @@ def test_df_carry_chain_class():
                 os.environ.pop("R8BT_DF_CARRY", None)
             else:
                 os.environ["R8BT_DF_CARRY"] = old
+
+
+@pytest.mark.slow
+def test_poly_oz_products_above_host_literal_cap():
+    """Round-5 review finding: above the host_R literal cap (Mp*W >
+    16e6 — only ~0.6 s of poly output per call) the guarantee products
+    used to silently fall back to the uncorrected f32 operator
+    (-140.8 dB measured).  The fix one-hot places bf16 flt SLICES on
+    device, so the error-free contraction holds to the flt cap
+    (~10 s per call); pin the class above the host_R cap, both
+    collapsed and as a pair."""
+    import jax
+
+    from r8brain_tpu.models.plan import make_plan
+    from r8brain_tpu.ops.stages import FracPolyExec
+
+    plan = make_plan(44100, 96001, 2.0, 180.15, 0)
+    fr = [s for s in plan.stages if s.kind == "frac"
+          and not s.is_whole][0]
+    n = 130000
+    x32 = lcg_uniform(5, n).astype(np.float32)
+    ref = np.asarray(FracPolyExec(fr, jnp.float64, engine="gather")
+                     .apply(jnp.asarray(x32.astype(np.float64))[None]),
+                     np.float64)
+    M = ref.shape[1]
+    ex = FracPolyExec(fr, jnp.float32, engine="banded",
+                      precision="high", oz_products=True)
+    assert M * ex.W > 16_000_000, "config no longer crosses the cap"
+    assert M * ex.fl <= 16_000_000
+    yo = np.asarray(ex.apply(jnp.asarray(x32)[None]), np.float64)
+    d = rms_db(yo - ref) - rms_db(ref)
+    assert d < -150.0, d
+    h, l, m = ex.apply_df(jnp.asarray(x32)[None], None)
+    yp = (np.asarray(h, np.float64)
+          + np.asarray(l, np.float64))[:, :m]
+    d2 = rms_db(yp - ref[:, :m]) - rms_db(ref[:, :m])
+    assert d2 < -150.0, d2
+    # plain high keeps its documented class (the residual pass now
+    # engages above the host_R cap too; was -140.8 without it)
+    exh = FracPolyExec(fr, jnp.float32, engine="banded",
+                       precision="high")
+    yh = np.asarray(exh.apply(jnp.asarray(x32)[None]), np.float64)
+    d3 = rms_db(yh - ref) - rms_db(ref)
+    assert d3 < -139.0, d3

@@ -64,7 +64,10 @@ def main():
             if y is not None:
                 jax.block_until_ready(y)
 
-        run_blocks(2)  # compile all per-phase programs
+        # warm up PAST any banded-tail recompiles: the tail's jit key
+        # includes the per-block W bucket, which can change with
+        # position drift over the first few blocks (round-5 review)
+        run_blocks(6)
         t0 = time.perf_counter()
         run_blocks(4)
         t_few = time.perf_counter() - t0
@@ -79,6 +82,8 @@ def main():
                       "_steady_throughput",
             "value": round(mrops, 1),
             "unit": "Mrops",
+            # 38 Mrops/core: the reference DLL's measured single-core
+            # flagship rate (BASELINE.md / README.md:114-116)
             "vs_baseline": round(mrops / 38.0, 2),
             "block_len": L,
             "mode": "poly_device_resident",
