@@ -106,11 +106,30 @@ class _PeriodStream:
             W0 = H * p_out // p_in - lat_o
         self.L, self.H, self.W0 = L, H, W0
         self.out_per_block = L * p_out // p_in
+        #: round 5: the df32 inter-stage carry applies WITHIN each
+        #: block's chain application (blocks recompute from the carried
+        #: raw f32 input window, so block boundaries add no rounding) —
+        #: the streaming guarantee class matches the oneshot's
+        self.df_carry = getattr(rs, "df_carry", False)
         self._jit_first = jax.jit(self._chain)
         self._jit_steady = jax.jit(self._steady)
         self.reset(None)
 
     def _chain(self, x):
+        if self.df_carry:
+            from ..ops.stages import _df_collapse_input
+            h, l, n = x, None, x.shape[1]
+            for i, e in enumerate(self.execs):
+                last = i == len(self.execs) - 1
+                if hasattr(e, "apply_df"):
+                    h, l, n = e.apply_df(h, l, n, emit_pair=not last)
+                else:
+                    h = e.apply(_df_collapse_input(h, l, n))
+                    l = None
+                    n = h.shape[1]
+            if l is not None:
+                h = h + l
+            return h if h.shape[1] == n else h[:, :n]
         for e in self.execs:
             x = e.apply(x)
         return x
@@ -150,10 +169,16 @@ class _PeriodStream:
 class _PolyTailStream:
     """Streaming final-stage polynomial interpolator with host-side timing."""
 
-    def __init__(self, spec: FracStage, dtype):
+    def __init__(self, spec: FracStage, dtype, guarantee: bool = False):
         self.spec = spec
         self.exec = FracPolyExec(spec, dtype)
         self.dtype = dtype
+        #: guarantee-config parent (df32 carry): the banded serving tail
+        #: ships host-f64-evaluated spline values as bf16 SLICES per
+        #: block and contracts in the error-free split-operand form, so
+        #: the tail holds the guarantee stage class (~-152) instead of
+        #: the device-f32 spline-eval class (~-140)
+        self.guarantee = bool(guarantee)
         fl = spec.filter_len
         self.fll = fl // 2 - 1
         r = spec.src_rate / spec.dst_rate
@@ -228,6 +253,48 @@ class _PolyTailStream:
                 self._apply_banded_serve, n_grp, W, cap))
         return self._jits[key]
 
+    def _apply_banded_oz_serve(self, n_grp: int, W: int, cap: int,
+                               window, a0, off, fps):
+        """Guarantee-config serving tail: like _apply_banded_serve, but
+        the operator values arrive as host-split bf16 SLICES (``fps``
+        [N_PARTS, n_grp, G, fl], f64-evaluated spline values, per-block
+        device args) one-hot placed into per-slice operators and
+        contracted with the ozaki exactness lemma
+        (ops/stages.banded_contract_ozaki) — the tail then holds the
+        same ~-152 dB stage class as the oneshot guarantee engine
+        instead of the device-f32 spline-eval ~-140 class."""
+        from ..ops.ozaki import N_PARTS
+        from ..ops.stages import banded_contract_ozaki
+        ex = self.exec
+        S, G, fl = ex.S, ex.G, ex.fl
+        iota_w = jnp.arange(W, dtype=jnp.int32)
+        parts = []
+        for q in range(N_PARTS):
+            fq = fps[q].astype(jnp.float32)
+            Rq = jnp.zeros((n_grp, G, W), jnp.float32)
+            for i in range(fl):
+                Rq = Rq + fq[..., i : i + 1] * (
+                    iota_w[None, None, :] == (off + i)[..., None])
+            parts.append(jnp.swapaxes(Rq, 1, 2).astype(jnp.bfloat16))
+        R_parts = jnp.stack(parts)
+        n_seg = -(-W // S)
+        need = (n_grp + n_seg) * S
+        C = window.shape[0]
+        PADL = S + fl + 64
+        wp = jnp.pad(window, ((0, 0), (PADL, need)))
+        xw = jax.lax.dynamic_slice_in_dim(wp, a0, need, axis=1)
+        o = banded_contract_ozaki(xw, R_parts, n_grp, S, W)
+        return o.reshape(C, n_grp * G)[:, :cap]
+
+    def _jit_banded_oz_for(self, win_len: int, n_grp: int, W: int,
+                           cap: int):
+        key = ("banded_oz", win_len, n_grp, W, cap)
+        if key not in self._jits:
+            import functools
+            self._jits[key] = jax.jit(functools.partial(
+                self._apply_banded_oz_serve, n_grp, W, cap))
+        return self._jits[key]
+
     def process_block_padded(self, z: jnp.ndarray):
         """z: [C, n] fractional-stage input samples -> (y[C, cap] device
         array, count) with valid outputs in y[:, :count] — the fully
@@ -258,8 +325,9 @@ class _PolyTailStream:
         s, f = frac_positions(self.spec, self.m_out, count)
         fr = f * self.exec.fracs
         fti = np.floor(fr).astype(np.int32)
-        t = (fr - fti).astype(np.float32 if self.dtype == jnp.float32
-                              else np.float64)
+        t64 = fr - fti  # exact f64 fractional phase (guarantee eval)
+        t = t64.astype(np.float32 if self.dtype == jnp.float32
+                       else np.float64)
         start_rel = (s - self.fll - base).astype(np.int32)
         assert start_rel.min() >= 0, "poly window underrun"
         assert start_rel.max() + self.exec.fl <= window.shape[1]
@@ -283,6 +351,22 @@ class _PolyTailStream:
             W = -(-W_need // 32) * 32
             PADL = S + fl + 64
             if W <= 4 * ex.W + 256 and A0 + PADL >= 0:
+                if self.guarantee:
+                    # host f64 spline eval + bf16 split (exact values)
+                    from ..ops.ozaki import split_operator_host_batched
+                    tb = ex.tab64
+                    tcg = np.pad(t64, (0, padG),
+                                 mode="edge").reshape(-1, G)[..., None]
+                    flt64 = (tb[fg, :, 0]
+                             + (tb[fg, :, 1] + tb[fg, :, 2] * tcg) * tcg)
+                    fps = jnp.asarray(
+                        split_operator_host_batched(flt64, axis=-1))
+                    fn = self._jit_banded_oz_for(window.shape[1],
+                                                 n_grp, W, cap)
+                    y = fn(window, jnp.int32(A0 + PADL),
+                           jnp.asarray(off), fps)
+                    self.m_out = m_avail
+                    return y, count
                 fn = self._jit_banded_for(window.shape[1], n_grp, W, cap)
                 y = fn(window, jnp.int32(A0 + PADL), jnp.asarray(off),
                        jnp.asarray(fg), jnp.asarray(tg))
@@ -414,7 +498,9 @@ class StreamResampler:
                                    chain_input_span(_subplan(prefix))) \
             if prefix else None
         self.block = self._core.L if prefix else _round_up(block_len, 1)
-        self._tail = _PolyTailStream(stages[pi], rs.dtype)
+        self._tail = _PolyTailStream(stages[pi], rs.dtype,
+                                     guarantee=getattr(rs, "df_carry",
+                                                       False))
         self._suf = None
         self._suf_pending = None
         self._sufdev = None  # device re-blocker, built on first device call

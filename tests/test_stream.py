@@ -370,3 +370,36 @@ def test_stream_f32_poly_matches_oneshot_class():
     y = np.concatenate(outs, axis=1)
     assert y.shape == ref.shape
     assert rms_db(y - ref) - rms_db(ref) < -125.0
+
+
+def test_stream_guarantee_class():
+    """Round 5: the df32 inter-stage carry applies WITHIN each streamed
+    block's chain (blocks recompute from the carried raw f32 input, so
+    block boundaries add no rounding) and the poly serving tail ships
+    host-f64-evaluated spline values as bf16 slices, contracted in the
+    error-free split form.  Streaming the guarantee config therefore
+    holds: rational/HB plans the oneshot's ~-152 dB class (one final
+    store rounding), poly plans ~-148 (the prefix->tail and
+    tail->suffix seams still collapse once each)."""
+    from r8brain_tpu.models.oracle import OracleResampler
+
+    for (src, dst, atten, bound) in [
+            (44100, 96000, 180.15, -150.0),
+            (352800, 44100, 136.1, -150.0),
+            (44100, 96001, 180.15, -146.0),
+            (44100, 352800.3, 140.0, -146.0)]:
+        n = 16000
+        x32 = lcg_uniform(11, n).astype(np.float32)
+        rs = Resampler(src, dst, 2.0, atten, 0, dtype="float32",
+                       precision="high", fused=False,
+                       conv_engine="ozaki", frac_engine="ozaki")
+        out_len = rs.default_out_len(n)
+        orc = OracleResampler(src, dst, 4096, 2.0, atten, 0).oneshot(
+            x32.astype(np.float64), out_len)
+        st = StreamResampler(rs, block_len=4096)
+        outs = [st.process(x32[i : i + 3001][None])
+                for i in range(0, n, 3001)]
+        outs.append(st.flush(out_len))
+        y = np.concatenate(outs, axis=1)
+        d = rms_db(y - orc) - rms_db(orc)
+        assert d < bound, (src, dst, d)
