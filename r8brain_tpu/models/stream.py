@@ -104,6 +104,25 @@ class _PeriodStream:
         while W0 < 0:
             H += _round_up(-W0 * p_in // p_out + p_in, p_in)
             W0 = H * p_out // p_in - lat_o
+        # The first block must carry the FULL real history: if L < H the
+        # first carried hist would be left-zero-padded, silently
+        # switching the stream head to MID-STREAM (zero-prefixed)
+        # semantics — which differ from the fresh-start chain in the
+        # first ~span outputs at stop-band level, because later stages
+        # read their predecessors' pre-start look-ahead spill that a
+        # fresh start never materializes (found by the round-5 streaming
+        # fuzzer executor at -83 dB on a deep hb+frac downsampling plan;
+        # the f64 oracle shows the same head transient, so this is chain
+        # semantics, not arithmetic).  Growing the effective block is
+        # the documented behavior for too-small block_len.
+        if L < H:
+            L = _round_up(H, p_in)
+            guard = 0
+            while (chain_out_len(stages, L) != L * p_out // p_in - lat_o
+                   or chain_out_len(stages, L) <= 0):
+                L += _round_up(max(p_in, span), p_in)
+                guard += 1
+                assert guard < 64, "cannot reach steady state; plan too deep"
         self.L, self.H, self.W0 = L, H, W0
         self.out_per_block = L * p_out // p_in
         #: round 5: the df32 inter-stage carry applies WITHIN each

@@ -9,6 +9,11 @@ all four executors:
   f32  — the production f32 XLA chain (precision="fast", fused auto)
   oz   — the backend-independent guarantee engine (precision="high",
          conv_engine=frac_engine="ozaki", ops/ozaki.py)
+  stm  — the push-mode StreamResampler over the f32 chain, fed in
+         random chunk sizes and zero-flushed (round 5: this executor's
+         first sweep immediately found the short-block synthetic-
+         history bug at -83 dB — models/stream.py L >= H — proving the
+         oneshot-only matrix was blind to streaming-specific faults)
   nat  — the native C++ engine, executed UNDER AddressSanitizer+UBSan
          via masstest_asan's --dump mode, streaming the input in
          LCG-random chunk sizes (the chunking draw), zero-flushing the
@@ -34,6 +39,11 @@ executor — tests/test_tpu_exec.py, tests/test_ozaki.py):
                                  accumulation noise floor; the -141
                                  claims for fast are on-chip
                                  measurements, tools/chip_accuracy.py)
+  orc<->stm             < -115  (same f32 class through the streaming
+                                 executor)
+  f32<->stm             < -120  (same arithmetic, differing only in
+                                 window framing and the poly tail's
+                                 device spline eval)
   f32<->oz              < -112  (triangle: -115 + -141 amplitudes)
 
 The per-pair worst dB across all trials is printed as one JSON line so
@@ -137,7 +147,8 @@ def test_differential_fuzzer_four_executors(tmp_path):
     trials = int(os.environ.get("R8BT_FUZZ_TRIALS", "400"))
     rng = np.random.default_rng(20260820)
     bounds = {"orc_nat": -240.0, "orc_f32": -115.0, "orc_oz": -150.0,
-              "f32_oz": -112.0, "f32_nat": -115.0, "oz_nat": -150.0}
+              "f32_oz": -112.0, "f32_nat": -115.0, "oz_nat": -150.0,
+              "orc_stm": -115.0, "f32_stm": -120.0}
     worst = {k: (-np.inf, None) for k in bounds}
 
     for trial in range(trials):
@@ -154,10 +165,20 @@ def test_differential_fuzzer_four_executors(tmp_path):
 
         orc = OracleResampler(src, dst, 4096, tb, atten, phase,
                               plan=plan).oneshot(x64, out_len)
-        f32 = np.asarray(
-            Resampler(src, dst, tb, atten, phase, dtype="float32",
-                      plan=plan, precision="fast").oneshot(x32, out_len),
-            dtype=np.float64)
+        rs32 = Resampler(src, dst, tb, atten, phase, dtype="float32",
+                         plan=plan, precision="fast")
+        f32 = np.asarray(rs32.oneshot(x32, out_len), dtype=np.float64)
+        from r8brain_tpu.models.stream import StreamResampler
+        st = StreamResampler(rs32, block_len=2048)
+        crng = np.random.default_rng(3000 + trial)
+        souts = []
+        pos = 0
+        while pos < n:
+            c = min(int(crng.integers(1, 2200)), n - pos)
+            souts.append(st.process(x32[pos : pos + c][None]))
+            pos += c
+        souts.append(st.flush(out_len))
+        stm = np.concatenate(souts, axis=1)[0]
         oz = np.asarray(
             Resampler(src, dst, tb, atten, phase, dtype="float32",
                       plan=plan, precision="high", fused=False,
@@ -169,7 +190,8 @@ def test_differential_fuzzer_four_executors(tmp_path):
 
         pairs = {"orc_nat": (orc, nat), "orc_f32": (orc, f32),
                  "orc_oz": (orc, oz), "f32_oz": (f32, oz),
-                 "f32_nat": (f32, nat), "oz_nat": (oz, nat)}
+                 "f32_nat": (f32, nat), "oz_nat": (oz, nat),
+                 "orc_stm": (orc, stm), "f32_stm": (f32, stm)}
         for name, (a, b) in pairs.items():
             d = _rel_db(b, a)
             if d > worst[name][0]:

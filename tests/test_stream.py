@@ -403,3 +403,37 @@ def test_stream_guarantee_class():
         y = np.concatenate(outs, axis=1)
         d = rms_db(y - orc) - rms_db(orc)
         assert d < bound, (src, dst, d)
+
+
+def test_stream_short_block_full_history():
+    """Round-5 streaming-fuzzer find (-83 dB): with block_len < the
+    chain's history span H, the first carried hist was left-zero-padded
+    — silently switching the stream head to mid-stream (zero-prefixed)
+    semantics, which differ from the fresh-start chain in the first
+    ~span outputs at stop-band level (later stages read their
+    predecessors' pre-start look-ahead spill that a fresh start never
+    materializes; the f64 oracle shows the same head transient, so the
+    stream's synthetic history was the bug).  The effective block now
+    grows to cover H; pin the found config at the f32 class."""
+    from r8brain_tpu.models.oracle import OracleResampler
+    from r8brain_tpu.models.plan import make_plan
+
+    src, dst, tb, atten = 401310.0, 44100.0, 4.034, 193.96
+    plan = make_plan(src, dst, tb, atten, 0)
+    n = 5000
+    x32 = lcg_uniform(7005, n).astype(np.float32)
+    out_len = int(np.floor(n * dst / src))
+    orc = OracleResampler(src, dst, 4096, tb, atten, 0,
+                          plan=plan).oneshot(x32.astype(np.float64),
+                                             out_len)
+    rs = Resampler(src, dst, tb, atten, 0, dtype="float32", plan=plan,
+                   precision="fast")
+    for block in (2048, 1024):
+        st = StreamResampler(rs, block_len=block)
+        assert st._core.L >= st._core.H
+        outs = [st.process(x32[i : i + 1777][None])
+                for i in range(0, n, 1777)]
+        outs.append(st.flush(out_len))
+        y = np.concatenate(outs, axis=1)
+        d = rms_db(y - orc) - rms_db(orc)
+        assert d < -125.0, (block, d)
