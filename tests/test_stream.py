@@ -256,6 +256,65 @@ def test_stream_device_resident_poly(cfg):
                           np.concatenate(ym, axis=1))
 
 
+@pytest.mark.parametrize("cfg", [
+    ("period", 44100, 96000),
+    ("poly_last", 44100, 96001),
+    ("poly_hbup_suffix", 44100, 352800.3),
+], ids=lambda c: c[0] if isinstance(c, tuple) else str(c))
+def test_stream_batched_device(cfg):
+    """k-block batched serving (process_blocks_device): one scanned-prefix
+    jit + ONE length-general tail program per k blocks, amortizing the
+    per-block dispatch latency (NEXT.md round-6 #2; the reference's
+    process() is one-block host-serial by construction,
+    CDSPResampler.h:559-575).  Contract: rational plans are BIT-IDENTICAL
+    to k successive per-block device calls (the scan body IS _steady);
+    polynomial plans hold the streaming class — f64 equals oneshot at
+    oracle level, f32 differs from the per-block path only in banded
+    group-padding placement (same exact positions)."""
+    import jax.numpy as jnp
+
+    label, src, dst = cfg
+    rs = Resampler(src, dst, 2.0, 180.15, 0, dtype="float64")
+    st = StreamResampler(rs, block_len=2048)
+    L = st.block
+    k, ncalls = 3, 3
+    n = L * k * ncalls
+    x = np.stack([lcg_uniform(21, n), lcg_uniform(22, n)])
+    outs = [np.asarray(st.process_blocks_device(
+        jnp.asarray(x[:, i : i + k * L])), dtype=np.float64)
+        for i in range(0, n, k * L)]
+    out_len = rs.default_out_len(n)
+    outs.append(st.flush(out_len))
+    y = np.concatenate(outs, axis=1)
+    ref = np.asarray(rs.oneshot(x, out_len))
+    assert y.shape == ref.shape
+    assert rms_db(y - ref) < -280.0
+
+    # f32: batched vs per-block device path — bit-identical for period
+    # plans; class-bounded for poly (group packing differs)
+    rs_a = Resampler(src, dst, 2.0, 180.15, 0, dtype="float32")
+    rs_b = Resampler(src, dst, 2.0, 180.15, 0, dtype="float32")
+    st_a = StreamResampler(rs_a, block_len=2048)
+    st_b = StreamResampler(rs_b, block_len=2048)
+    x32 = x.astype(np.float32)
+    ya, yb = [], []
+    for i in range(0, n, L):
+        ya.append(np.asarray(st_a.process_block_device(
+            jnp.asarray(x32[:, i : i + L]))))
+    for i in range(0, n, k * L):
+        yb.append(np.asarray(st_b.process_blocks_device(
+            jnp.asarray(x32[:, i : i + k * L]))))
+    ya = np.concatenate(ya, axis=1)
+    yb = np.concatenate(yb, axis=1)
+    m = min(ya.shape[1], yb.shape[1])
+    assert ya.shape[1] == yb.shape[1] or label == "poly_hbup_suffix"
+    if label == "period":
+        assert np.array_equal(ya[:, :m], yb[:, :m])
+    else:
+        peak = np.abs(ya[:, :m]).max()
+        assert np.abs(ya[:, :m] - yb[:, :m]).max() < peak * 10 ** (-120 / 20)
+
+
 def test_device_stream_guards():
     """Device streaming: channel bookkeeping for flush/checkpoint; strict
     shape validation; refusal to mix with a pending partial chunk

@@ -51,16 +51,22 @@ def main():
         # polynomial (irrational-ratio) serving path: device-resident
         # blocks through process_block_device (prefix jit + tail with
         # per-block device position args + device re-blocked suffix) —
-        # the any-ratio streaming contract, CDSPResampler.h:559-575
+        # the any-ratio streaming contract, CDSPResampler.h:559-575.
+        # R8B_SBENCH_KBATCH > 1 measures the k-block batched path
+        # (process_blocks_device: scanned prefix + ONE tail program per k
+        # blocks), which amortizes the per-block tunnel dispatch latency
+        # that dominates the per-block wall number (NEXT.md round-6 #2).
+        kb = int(os.environ.get("R8B_SBENCH_KBATCH", "8"))
         L = st.block
         rng = np.random.default_rng(0)
         xb = jax.device_put(jnp.asarray(
-            rng.standard_normal((C, L)) * 0.5, jnp.float32))
+            rng.standard_normal((C, L * max(1, kb))) * 0.5, jnp.float32))
 
         def run_blocks(n):
             y = None
             for _ in range(n):
-                y = st.process_block_device(xb)
+                y = (st.process_blocks_device(xb) if kb > 1
+                     else st.process_block_device(xb))
             if y is not None:
                 jax.block_until_ready(y)
 
@@ -74,9 +80,10 @@ def main():
         t0 = time.perf_counter()
         run_blocks(4 + nblk)
         t_many = time.perf_counter() - t0
-        dt = (t_many - t_few) / nblk
-        mrops = 1e-6 * C * L / dt
-        streams = C * (L / src) / dt
+        dt = (t_many - t_few) / nblk  # steady seconds per push call
+        n_per_call = L * max(1, kb)
+        mrops = 1e-6 * C * n_per_call / dt
+        streams = C * (n_per_call / src) / dt
         print(json.dumps({
             "metric": f"stream_{int(src)}_to_{int(dst)}"
                       "_steady_throughput",
@@ -86,8 +93,9 @@ def main():
             # flagship rate (BASELINE.md / README.md:114-116)
             "vs_baseline": round(mrops / 38.0, 2),
             "block_len": L,
+            "k_batch": max(1, kb),
             "mode": "poly_device_resident",
-            "realtime": bool(dt < L / src),
+            "realtime": bool(dt < n_per_call / src),
             "realtime_streams_per_chip": int(streams),
         }))
         return
