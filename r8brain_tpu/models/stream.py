@@ -478,11 +478,18 @@ class _SufDeviceReblock:
         self._jit_write = jax.jit(
             lambda buf, y, at: jax.lax.dynamic_update_slice(
                 buf, y, (jnp.zeros((), dtype=at.dtype), at)))
-        self._jit_shift = jax.jit(
-            lambda buf: jnp.concatenate(
-                [buf[:, L2:], jnp.zeros((buf.shape[0], L2), buf.dtype)],
-                axis=1))
+        self._shift_jits = {}
         self.reset()
+
+    def _jit_shift(self, s: int):
+        """Shift the ring left by s samples (one jit per static s; s takes
+        few values in steady state, so the cache stays small)."""
+        if s not in self._shift_jits:
+            self._shift_jits[s] = jax.jit(
+                lambda buf: jnp.concatenate(
+                    [buf[:, s:], jnp.zeros((buf.shape[0], s), buf.dtype)],
+                    axis=1))
+        return self._shift_jits[s]
 
     def reset(self):
         self.buf = None
@@ -498,12 +505,19 @@ class _SufDeviceReblock:
             at = jnp.asarray(self.fill, dtype=jnp.int32)
             self.buf = self._jit_write(self.buf, y_padded, at)
         self.fill += count
-        outs = []
-        while self.fill >= self.L2:
-            outs.append(self.suf.process_block_device(self.buf[:, :self.L2]))
-            self.buf = self._jit_shift(self.buf)
-            self.fill -= self.L2
-        return outs
+        L2 = self.L2
+        m = self.fill // L2
+        if m == 0:
+            return []
+        # all m filled suffix blocks in ONE scanned call + ONE ring shift
+        # (the per-block form paid 2m dispatches per push; with k-block
+        # batching upstream, m grows with k and the suffix became the
+        # dominant dispatch cost of mid-chain poly serving)
+        out = self.suf.process_block_device(self.buf[:, :L2]) if m == 1 \
+            else self.suf.process_blocks_device(self.buf[:, : m * L2], m)
+        self.buf = self._jit_shift(m * L2)(self.buf)
+        self.fill -= m * L2
+        return [out]
 
 
 class StreamResampler:
