@@ -71,6 +71,23 @@ def main(argv=None):
     print(f"emitted {total} of {expect} (lag {expect - total} flushes "
           f"with the next block or ss.flush())")
 
+    # Single-device any-ratio serving: when the host<->device link (not
+    # the chip) bounds wall throughput, push k blocks per call —
+    # StreamResampler.process_blocks_device runs ONE scanned-prefix jit
+    # + ONE polynomial-tail program per k blocks (docs/API.md; 343 ->
+    # 8964 Mrops at k=8 on a tunneled chip, BENCHMATRIX_r5.json).
+    import jax.numpy as jnp
+
+    from r8brain_tpu.models.stream import StreamResampler
+
+    st = StreamResampler(Resampler(44100, 96001, 2.0, 180.15, 0,
+                                   dtype="float32"), block_len=2048)
+    k = 4
+    xk = np.asarray(sig[:, : k * st.block], dtype=np.float32)
+    y = st.process_blocks_device(jnp.asarray(xk))
+    print(f"poly 44100->96001 batched k={k}: pushed {k}x{st.block}, "
+          f"emitted {y.shape[1]} in one call")
+
 
 if __name__ == "__main__":
     main()
