@@ -319,6 +319,52 @@ class _PolyTailStream:
                 self._apply_banded_serve, n_grp, W, cap))
         return self._jits[key]
 
+    def _apply_banded_spans_serve(self, n_span: int, P: int, W: int,
+                                  cap: int, window, a0s, off, fti, t):
+        """Per-SPAN variant of _apply_banded_serve for long (k-block
+        batched) output spans: group offsets drift off the integer S-grid
+        linearly with span length, so a single global base A0 makes the
+        per-group window W — and with it FLOPs/output — grow with the
+        span (measured: W 384 -> 704 from k=8 to k=32 blocks, regressing
+        k=32 below k=8).  Splitting the groups into spans of P with their
+        OWN device-arg bases ``a0s`` keeps W at its short-span value; the
+        contract runs vmapped over spans on reshape views, no gather."""
+        from ..ops.stages import banded_contract
+        ex = self.exec
+        S, G, fl = ex.S, ex.G, ex.fl
+        c0 = jnp.asarray(ex.c0)[fti]          # [n_span*P, G, fl]
+        c1 = jnp.asarray(ex.c1)[fti]
+        c2 = jnp.asarray(ex.c2)[fti]
+        flt = c0 + (c1 + c2 * t[..., None]) * t[..., None]
+        iota_w = jnp.arange(W, dtype=jnp.int32)
+        R = jnp.zeros((n_span * P, G, W), dtype=self.dtype)
+        for i in range(fl):
+            R = R + flt[..., i : i + 1] * (
+                iota_w[None, None, :] == (off + i)[..., None])
+        Rs = jnp.swapaxes(R, 1, 2).reshape(n_span, P, W, G)
+        n_seg = -(-W // S)
+        need_p = (P + n_seg) * S
+        C = window.shape[0]
+        PADL = S + fl + 64
+        wp = jnp.pad(window, ((0, 0), (PADL, need_p)))
+        xspans = jax.vmap(
+            lambda a: jax.lax.dynamic_slice_in_dim(wp, a, need_p,
+                                                   axis=1))(a0s)
+        o = jax.vmap(lambda xs, Rp: banded_contract(
+            xs, Rp, P, S, W, jax.lax.Precision.HIGHEST))(xspans, Rs)
+        # [n_span, C, P, G] -> [C, n_span*P*G]
+        o = jnp.transpose(o, (1, 0, 2, 3)).reshape(C, n_span * P * G)
+        return o[:, :cap]
+
+    def _jit_banded_spans_for(self, win_len: int, n_span: int, P: int,
+                              W: int, cap: int):
+        key = ("banded_spans", win_len, n_span, P, W, cap)
+        if key not in self._jits:
+            import functools
+            self._jits[key] = jax.jit(functools.partial(
+                self._apply_banded_spans_serve, n_span, P, W, cap))
+        return self._jits[key]
+
     def _apply_banded_oz_serve(self, n_grp: int, W: int, cap: int,
                                window, a0, off, fps):
         """Guarantee-config serving tail: like _apply_banded_serve, but
@@ -403,6 +449,33 @@ class _PolyTailStream:
             # per-block (a0, group offsets, W) and run the static-shape
             # banded program with positions as device args
             G, S, fl = ex.G, ex.S, ex.fl
+            PADL = S + fl + 64
+            n_grp0 = -(-cap // G)
+            if not self.guarantee and n_grp0 >= 256:
+                # long (k-block batched) span: per-SPAN bases keep W flat
+                P = 64
+                n_span = -(-n_grp0 // P)
+                capG = n_span * P * G
+                padG = capG - count
+                sr = np.pad(start_rel, (0, padG), mode="edge")
+                fg = np.pad(fti, (0, padG), mode="edge").reshape(-1, G)
+                tg = np.pad(t, (0, padG), mode="edge").reshape(-1, G)
+                rel = sr.reshape(n_span * P, G) \
+                    - (np.arange(n_span * P, dtype=np.int64)[:, None] * S)
+                rel2 = rel.reshape(n_span, P, G)
+                A0s = rel2.min(axis=(1, 2))
+                off = (rel2 - A0s[:, None, None]).reshape(
+                    n_span * P, G).astype(np.int32)
+                W_need = int(off.max()) + fl
+                W = -(-W_need // 32) * 32
+                a0s = (A0s + PADL).astype(np.int32)
+                if W <= 4 * ex.W + 256 and int(a0s.min()) >= 0:
+                    fn = self._jit_banded_spans_for(window.shape[1],
+                                                    n_span, P, W, cap)
+                    y = fn(window, jnp.asarray(a0s), jnp.asarray(off),
+                           jnp.asarray(fg), jnp.asarray(tg))
+                    self.m_out = m_avail
+                    return y, count
             capG = -(-cap // G) * G
             padG = capG - count
             sr = np.pad(start_rel, (0, padG), mode="edge")
