@@ -407,6 +407,50 @@ class _PolyTailStream:
                 self._apply_banded_oz_serve, n_grp, W, cap))
         return self._jits[key]
 
+    def _apply_banded_oz_spans_serve(self, n_span: int, P: int, W: int,
+                                     cap: int, window, a0s, off, fps):
+        """Per-span variant of _apply_banded_oz_serve (same flat-W
+        rationale as _apply_banded_spans_serve): the exactness lemma is
+        per-(c, m, g) output cell, so re-basing groups per span changes
+        only WHICH zero-padded window samples multiply operator zeros —
+        the guarantee class is unchanged."""
+        from ..ops.ozaki import N_PARTS
+        from ..ops.stages import banded_contract_ozaki
+        ex = self.exec
+        S, G, fl = ex.S, ex.G, ex.fl
+        iota_w = jnp.arange(W, dtype=jnp.int32)
+        parts = []
+        for q in range(N_PARTS):
+            fq = fps[q].astype(jnp.float32)       # [n_span*P, G, fl]
+            Rq = jnp.zeros((n_span * P, G, W), jnp.float32)
+            for i in range(fl):
+                Rq = Rq + fq[..., i : i + 1] * (
+                    iota_w[None, None, :] == (off + i)[..., None])
+            parts.append(jnp.swapaxes(Rq, 1, 2).astype(jnp.bfloat16))
+        Rp = jnp.stack(parts).reshape(N_PARTS, n_span, P, W, G)
+        n_seg = -(-W // S)
+        need_p = (P + n_seg) * S
+        C = window.shape[0]
+        PADL = S + fl + 64
+        wp = jnp.pad(window, ((0, 0), (PADL, need_p)))
+        xspans = jax.vmap(
+            lambda a: jax.lax.dynamic_slice_in_dim(wp, a, need_p,
+                                                   axis=1))(a0s)
+        o = jax.vmap(
+            lambda xs, R: banded_contract_ozaki(xs, R, P, S, W),
+            in_axes=(0, 1))(xspans, Rp)
+        o = jnp.transpose(o, (1, 0, 2, 3)).reshape(C, n_span * P * G)
+        return o[:, :cap]
+
+    def _jit_banded_oz_spans_for(self, win_len: int, n_span: int, P: int,
+                                 W: int, cap: int):
+        key = ("banded_oz_spans", win_len, n_span, P, W, cap)
+        if key not in self._jits:
+            import functools
+            self._jits[key] = jax.jit(functools.partial(
+                self._apply_banded_oz_spans_serve, n_span, P, W, cap))
+        return self._jits[key]
+
     def process_block_padded(self, z: jnp.ndarray):
         """z: [C, n] fractional-stage input samples -> (y[C, cap] device
         array, count) with valid outputs in y[:, :count] — the fully
@@ -451,13 +495,23 @@ class _PolyTailStream:
             G, S, fl = ex.G, ex.S, ex.fl
             PADL = S + fl + 64
             n_grp0 = -(-cap // G)
-            if not self.guarantee and n_grp0 >= 256:
+            if n_grp0 >= 256:
                 # long (k-block batched) span: per-SPAN bases keep W flat
                 P = 64
                 n_span = -(-n_grp0 // P)
                 capG = n_span * P * G
                 padG = capG - count
-                sr = np.pad(start_rel, (0, padG), mode="edge")
+                # pad positions ON the S-grid (continue at the grid rate
+                # S/G), NOT edge-replicated: a repeated position drifts
+                # off the grid by S per padded group, blowing W up for
+                # the last span (padG can approach P*G here, vs < G on
+                # the single-span path).  Grid-extrapolated pad reads
+                # land in the window's static right zero-pad; the padded
+                # outputs are sliced off by [:, :cap].
+                jpad = np.arange(1, padG + 1, dtype=np.int64)
+                sr = np.concatenate([
+                    start_rel.astype(np.int64),
+                    start_rel[-1] + (jpad * S) // G])
                 fg = np.pad(fti, (0, padG), mode="edge").reshape(-1, G)
                 tg = np.pad(t, (0, padG), mode="edge").reshape(-1, G)
                 rel = sr.reshape(n_span * P, G) \
@@ -468,8 +522,28 @@ class _PolyTailStream:
                     n_span * P, G).astype(np.int32)
                 W_need = int(off.max()) + fl
                 W = -(-W_need // 32) * 32
-                a0s = (A0s + PADL).astype(np.int32)
+                # the vmapped contract indexes groups span-LOCALLY, so
+                # each span's slice base carries its global offset s*P*S
+                a0s = (A0s + PADL
+                       + np.arange(n_span, dtype=np.int64) * (P * S)
+                       ).astype(np.int32)
                 if W <= 4 * ex.W + 256 and int(a0s.min()) >= 0:
+                    if self.guarantee:
+                        from ..ops.ozaki import split_operator_host_batched
+                        tb = ex.tab64
+                        tcg = np.pad(t64, (0, padG),
+                                     mode="edge").reshape(-1, G)[..., None]
+                        flt64 = (tb[fg, :, 0]
+                                 + (tb[fg, :, 1] + tb[fg, :, 2] * tcg)
+                                 * tcg)
+                        fps = jnp.asarray(
+                            split_operator_host_batched(flt64, axis=-1))
+                        fn = self._jit_banded_oz_spans_for(
+                            window.shape[1], n_span, P, W, cap)
+                        y = fn(window, jnp.asarray(a0s),
+                               jnp.asarray(off), fps)
+                        self.m_out = m_avail
+                        return y, count
                     fn = self._jit_banded_spans_for(window.shape[1],
                                                     n_span, P, W, cap)
                     y = fn(window, jnp.asarray(a0s), jnp.asarray(off),
